@@ -1,0 +1,120 @@
+"""Candidate generation: the blocking-index probe as a salted self-join.
+
+Reference analog: ``register_block`` probes the md5->id-list hash bucket
+and walks the collision list (/root/reference/src/deduplication.cpp:
+1400-1417), with a bloom filter short-circuiting definite misses
+(/root/reference/src/HashDB.cpp:429-431). Here:
+
+- bucket        = LSH band key (or exact fingerprint)
+- collision list = the group of rows sharing the key
+- bloom short-circuit = `bloom_preprune` (drop rows whose key provably
+  appears once — they cannot form a pair) + Spark's runtime
+  bloom-filter join (session config)
+- candidate walk = self-join on the key with a<b ordering
+
+Scale design (the part the reference never faced — its buckets were
+bounded by chunk-size math):
+- **stop-band suppression**: band keys with document-frequency above a
+  cap are dropped (hot shingles — greetings, tool preambles — would
+  otherwise explode the join quadratically). The drop count is surfaced
+  in the metrics table, never silent.
+- **deterministic salting**: keys hotter than ``salt_threshold`` (but
+  under the cap) are split into G deterministic sub-groups; the left
+  side keeps its salt, the right side replicates across salts, so one
+  hot bucket's pair enumeration spreads over G partitions instead of
+  pinning one task. Salt = pmod(xxhash64(id), G) — reproducible.
+- AQE skew-join (session config) splits whatever residual skew remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_BLOCK = 64  # cap on rows sharing one band key
+DEFAULT_SALT_THRESHOLD = 16  # salt keys hotter than this
+DEFAULT_SALT_GROUPS = 8
+
+
+def explode_blocks(df: DataFrame, id_col: str, bands_col: str = "bands") -> DataFrame:
+    """(id, band_key) — one row per (row, band)."""
+    return df.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("band_key"))
+
+
+def bloom_preprune(blocks: DataFrame) -> DataFrame:
+    """Drop rows whose band key appears exactly once — they cannot pair.
+
+    Implemented as a semi-join against the repeated-key set; with
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled=true`` Catalyst
+    physically executes this as a bloom-filter-pruned scan + shuffle,
+    which is the reference's HashDB bloom negative-lookup
+    (/root/reference/src/HashDB.cpp:372) done engine-side. The repeated
+    set is computed with a partial-aggregated groupBy (map-side combine),
+    so its cost is one light shuffle of distinct keys.
+    """
+    repeated = (
+        blocks.groupBy("band_key")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("band_key")
+    )
+    return blocks.join(repeated, "band_key", "left_semi")
+
+
+def block_frequencies(blocks: DataFrame) -> DataFrame:
+    return blocks.groupBy("band_key").agg(F.count("*").alias("df"))
+
+
+def candidate_pairs(
+    blocks: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    salt_groups: int = DEFAULT_SALT_GROUPS,
+) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from band-key co-occurrence.
+
+    Three frequency tiers per key:
+      df > max_block        -> dropped (stop band; counted by caller)
+      salt_threshold < df   -> salted self-join (hot keys spread over G tasks)
+      otherwise             -> plain self-join
+    """
+    freq = block_frequencies(blocks)
+    b = blocks.join(F.broadcast(freq.where(F.col("df") <= max_block)), "band_key")
+    cold = b.where(F.col("df") <= salt_threshold).drop("df")
+    hot = b.where(F.col("df") > salt_threshold).drop("df")
+
+    # plain tier
+    a1 = cold.select("band_key", F.col("id").alias("id_a"))
+    b1 = cold.select("band_key", F.col("id").alias("id_b"))
+    pairs_cold = a1.join(b1, "band_key").where(F.col("id_a") < F.col("id_b"))
+
+    # salted tier: left keeps its deterministic salt; right replicates to
+    # every salt value, so (a,b) meets exactly once — at partition
+    # (band_key, salt(a)) — and a hot key's work spreads over G tasks.
+    salt = F.pmod(F.xxhash64("id"), F.lit(salt_groups)).cast("int")
+    a2 = hot.select("band_key", F.col("id").alias("id_a"), salt.alias("salt"))
+    b2 = hot.select(
+        "band_key",
+        F.col("id").alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_groups - 1))).alias("salt"),
+    )
+    pairs_hot = a2.join(b2, ["band_key", "salt"]).where(F.col("id_a") < F.col("id_b")).drop("salt")
+
+    return pairs_cold.select("id_a", "id_b").union(pairs_hot.select("id_a", "id_b")).distinct()
+
+
+def exact_key_pairs(df: DataFrame, id_col: str, key_col: str, max_block: int = 10_000) -> DataFrame:
+    """Pairs sharing an exact fingerprint (md5 path, D1): group -> min id.
+
+    For exact keys we don't need the quadratic pair set — first-writer-
+    wins edges (everyone -> group min) are enough for connected
+    components and keep output linear in group size (the reference's
+    unique-block registry semantics, src/deduplication.cpp:1419-1449).
+    """
+    keyed = df.select(F.col(key_col).alias("k"), F.col(id_col).alias("id"))
+    mins = keyed.groupBy("k").agg(F.min("id").alias("id_a"), F.count("*").alias("n"))
+    return (
+        keyed.join(mins.where(F.col("n") >= 2).where(F.col("n") <= max_block), "k")
+        .where(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+    )

@@ -1,0 +1,152 @@
+"""Transitive clustering: large-star/small-star connected components.
+
+The reference's "cluster" is the unique-block registry + per-file id
+lists (/root/reference/include/deduplication.h:224-248) — membership is
+decided the moment a fingerprint matches. Generalized record linkage
+needs the transitive closure of the scored-edge graph; we use the
+Kiveris et al. ("Connected Components in MapReduce and Beyond", SoCC'14
+— public algorithm) alternating star operations, which converge in
+O(log n) rounds and keep every step a plain DataFrame groupBy/join:
+
+  large-star: each node points its *larger* neighbors at the minimum of
+              its neighborhood (including itself)
+  small-star: each node points its *smaller-or-equal* neighbors at the
+              minimum of its neighborhood
+
+Each iteration is checkpointed — ``localCheckpoint`` to truncate lineage
+(else the DAG doubles every round), and optionally parquet snapshots per
+iteration (``checkpoint_dir``) with a metrics row per iteration, so the
+loop is resumable mid-run (north-rule resumability; reference analog:
+``prepare_insert`` rebuilding state from the package,
+/root/reference/src/deduplication.cpp:658-792).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MAX_ITERATIONS = 50
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, deduped, self-loops dropped, src < dst."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Emit (v, m(u)) for every neighbor v > u, where m(u)=min(N(u) ∪ {u})."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst"), F.col("src")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    mins = mins.withColumn("m", F.least("src", "nbr_min")).select("src", "m")
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (big -> small); each node links its small neighbors
+    (and itself) to the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.union(mins.select(F.col("src"), F.col("src").alias("dst"))).distinct()
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = MAX_ITERATIONS,
+    resume: bool = False,
+) -> DataFrame:
+    """(node, cluster_id) for every node that appears in ``edges``.
+
+    cluster_id is the minimum node id of the component — matching the
+    fixture oracle's representative choice (FIXTURES.md §3). Nodes not
+    present in any edge are absent (caller unions singletons).
+
+    With ``checkpoint_dir``, every iteration writes its edge set and a
+    metrics row; ``resume=True`` restarts from the newest snapshot.
+    """
+    spark = edges.sparkSession
+    e = _canonical(edges)
+    start_iter = 0
+    if checkpoint_dir and resume:
+        latest = _latest_snapshot(checkpoint_dir)
+        if latest is not None:
+            start_iter, path = latest
+            e = spark.read.parquet(path)
+
+    e = e.localCheckpoint(eager=True)
+    prev = _checksum(e)
+    for it in range(start_iter, max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if checkpoint_dir:
+            _write_snapshot(e, checkpoint_dir, it + 1, cur)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged star graph: every edge is (node -> component min); the
+    # representatives themselves are roots.
+    assign = e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id")).distinct()
+    return assign.union(roots).groupBy("node").agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def _write_snapshot(e: DataFrame, checkpoint_dir: str, iteration: int, checksum: tuple[int, int]) -> None:
+    path = os.path.join(checkpoint_dir, f"iter={iteration:04d}")
+    e.write.mode("overwrite").parquet(path)
+    spark = e.sparkSession
+    metrics = spark.createDataFrame(
+        [(iteration, checksum[0], checksum[1])], "iteration int, n_edges long, checksum long"
+    )
+    metrics.write.mode("append").parquet(os.path.join(checkpoint_dir, "metrics"))
+
+
+def _latest_snapshot(checkpoint_dir: str) -> tuple[int, str] | None:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    iters = sorted(
+        d for d in os.listdir(checkpoint_dir) if d.startswith("iter=") and not d.endswith("_tmp")
+    )
+    if not iters:
+        return None
+    last = iters[-1]
+    return int(last.split("=")[1]), os.path.join(checkpoint_dir, last)
+
+
+def clusters_with_singletons(all_ids: DataFrame, cc: DataFrame, id_col: str = "conv_id") -> DataFrame:
+    """Every id gets a cluster: CC assignment if linked, itself otherwise."""
+    return (
+        all_ids.select(F.col(id_col).alias("conv_id"))
+        .join(cc.withColumnRenamed("node", "conv_id"), "conv_id", "left")
+        .select(
+            "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
+        )
+    )

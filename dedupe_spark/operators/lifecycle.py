@@ -1,0 +1,134 @@
+"""Package lifecycle: unique-turn registry, reconstruction, GC, stats.
+
+These are the reference's insert/extract/remove/stat flows re-expressed
+as DataFrame jobs over two tables:
+
+  unique_turns (fp, text, len, block_id)   — the logic-block dictionary
+      (/root/reference/include/deduplication.h:73-78); block_id is a
+      deterministic dense id (first-writer-wins by (conv_id, turn_idx)),
+      not a file offset.
+  membership (conv_id, turn_idx, role, tool, ts, block_id) — the
+      per-file block-id list (include/deduplication.h:81-91).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedupe_spark.functions.ids import with_dense_id
+from dedupe_spark.operators.normalize import with_norm_and_fp
+
+
+def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """register_block (src/deduplication.cpp:1393-1461) as two DataFrames.
+
+    The reference walks records serially and assigns block ids in
+    first-seen order; distributed first-writer-wins is the same
+    semantics: the canonical copy of a fingerprint is the minimum
+    (conv_id, turn_idx) that carries it, and block_id is a dense number
+    over fingerprint order — assigned with the distributed dense-id
+    helper (range partition + parallel windows + broadcast offsets), not
+    a single-reducer global window.
+    """
+    t = with_norm_and_fp(transcripts)
+    canon = (
+        t.groupBy("fp")
+        .agg(
+            F.min(F.struct("conv_id", "turn_idx", "text")).alias("first"),
+            F.count("*").alias("refcount"),
+        )
+        .select(
+            "fp",
+            F.col("first.text").alias("text"),
+            F.length("first.text").cast("int").alias("len"),
+            "refcount",
+        )
+    )
+    unique_turns = with_dense_id(canon, ["fp"], id_col="block_id")
+    membership = (
+        t.join(unique_turns.select("fp", "block_id"), "fp")
+        .select("conv_id", "turn_idx", "role", "tool", "ts", "block_id")
+    )
+    return unique_turns.drop("refcount"), membership
+
+
+def reconstruct(membership: DataFrame, unique_turns: DataFrame) -> DataFrame:
+    """extract_file (src/deduplication.cpp:1602-1726): join the id list
+    back to block payloads in stable (conv_id, turn_idx) order.
+
+    NOTE: blocks are keyed by *normalized* fingerprints, so the
+    reconstruction returns the canonical text per block. The strict
+    per-turn **raw** text equality invariant is verified by registering
+    with raw-text fingerprints (norm == identity) — tests cover both.
+    """
+    return (
+        membership.join(unique_turns.select("block_id", "text"), "block_id")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def remove_conversations(
+    membership: DataFrame, unique_turns: DataFrame, removed_ids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """remove_files (src/deduplication.cpp:154-515): drop records,
+    refcount blocks, GC orphans, densely renumber survivors.
+
+    removed_ids: single-column (conv_id) DataFrame.
+    Returns (unique_turns', membership') with remapped dense block ids.
+    """
+    surviving = membership.join(removed_ids, "conv_id", "left_anti")
+    refcounts = surviving.groupBy("block_id").agg(F.count("*").alias("refcount"))
+    # new_id = old_id - removed_so_far (src/deduplication.cpp:344) — the
+    # running renumber is exactly a dense numbering over surviving id order.
+    survivors = with_dense_id(
+        unique_turns.join(refcounts.select("block_id"), "block_id", "left_semi"),
+        ["block_id"],
+        id_col="new_id",
+    )
+    new_membership = (
+        surviving.join(survivors.select("block_id", "new_id"), "block_id")
+        .select("conv_id", "turn_idx", "role", "tool", "ts", F.col("new_id").alias("block_id"))
+    )
+    new_unique = survivors.select("fp", "text", "len", F.col("new_id").alias("block_id"))
+    return new_unique, new_membership
+
+
+def package_stats(membership: DataFrame, unique_turns: DataFrame) -> DataFrame:
+    """package_stat (src/deduplication.cpp:1729-1908): dedup-ratio metrics
+    computed **two independent ways** — the reference prints both as a
+    self-check (:1867-1868); we return both columns so tests assert
+    equality.
+
+    way 1: from per-block refcounts (sum over unique blocks)
+    way 2: from the raw traversal (total turns/bytes minus unique)
+    """
+    ref = membership.groupBy("block_id").agg(F.count("*").alias("refcount"))
+    joined = unique_turns.join(ref, "block_id", "left").na.fill({"refcount": 0})
+    way1 = joined.agg(
+        F.count("*").alias("n_unique_blocks"),
+        F.sum(F.col("len") * (F.col("refcount") - 1)).alias("saved_bytes_by_refcount"),
+        F.sum(F.col("refcount")).alias("total_refs"),
+    )
+    total = membership.join(unique_turns.select("block_id", "len"), "block_id").agg(
+        F.count("*").alias("n_turns_total"),
+        F.sum("len").alias("total_bytes"),
+    )
+    uniq = unique_turns.agg(F.sum("len").alias("unique_bytes"))
+    return (
+        way1.crossJoin(total)
+        .crossJoin(uniq)
+        .select(
+            "n_unique_blocks",
+            "n_turns_total",
+            "total_refs",
+            "total_bytes",
+            "unique_bytes",
+            "saved_bytes_by_refcount",
+            (F.col("total_bytes") - F.col("unique_bytes")).alias("saved_bytes_by_traversal"),
+            (
+                (F.col("total_bytes") - F.col("unique_bytes"))
+                / F.when(F.col("total_bytes") > 0, F.col("total_bytes"))
+            ).alias("dedup_ratio"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""MinHash/LSH blocking keys over normalized-text shingles.
+
+Reference analog: CDC/sliding-block chunking + the md5->bucket blocking
+index (/root/reference/src/deduplication.cpp:1044-1348, 723-736). The
+reference samples content-defined boundaries with a rolling hash; at
+turn/document granularity the equivalent locality-sensitive signature is
+MinHash over token k-shingles, banded into LSH keys — each band key is a
+"hash bucket" exactly like the reference's md5 index bucket, and bucket
+collisions are the candidate lists.
+
+Layout of work:
+- shingle hashing is **JVM-side**: split -> sliding k-gram -> xxhash64,
+  all whole-stage-codegen'd; Python never sees the text.
+- the signature is an Arrow-batched pandas UDF over the array<long> of
+  shingle hashes, vectorized across the *entire batch* with
+  ``np.minimum.reduceat`` (no per-row Python loop).
+
+Determinism: permutation parameters derive from a fixed seed via
+numpy Philox, so signatures are identical across runs, partitionings and
+cluster sizes (SURVEY.md §7 determinism requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE_PRIME = (1 << 61) - 1
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 32  # 32 bands x 4 rows: s-curve threshold ~ (1/32)^(1/4) ~ 0.42
+DEFAULT_SEED = 42
+
+
+def shingle_hashes(doc: Column | str, k: int = 3) -> Column:
+    """array<long> of xxhash64 values of token k-shingles — pure JVM exprs.
+
+    For docs with < k tokens the whole doc is the single shingle, so no
+    row produces an empty array.
+    """
+    c = F.col(doc) if isinstance(doc, str) else doc
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array(F.xxhash64(c)))
+    return grams
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    a = rng.integers(1, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_PRIME, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED):
+    """pandas UDF: array<long> shingle hashes -> array<long> signature.
+
+    Vectorized across the batch: all rows' shingles are concatenated once,
+    permuted in chunks, and per-row minima taken with minimum.reduceat.
+    """
+    a_params, b_params = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(shingles: pd.Series) -> pd.Series:
+        lens = shingles.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.Series([[0] * num_perm] * len(shingles))
+        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingles]).astype(
+            np.uint64
+        )
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.empty((len(lens), num_perm), dtype=np.uint64)
+        # chunk permutations to bound the (n_shingles x chunk) temp matrix
+        chunk = max(1, min(num_perm, (64 << 20) // max(1, flat.size * 8)))
+        for lo in range(0, num_perm, chunk):
+            hi = min(num_perm, lo + chunk)
+            # (M, c) = (a*h + b) mod p in uint64 (wrap-around is fine: the
+            # same deterministic family either way, universal enough)
+            m = (flat[:, None] * a_params[None, lo:hi] + b_params[None, lo:hi]) % np.uint64(
+                MERSENNE_PRIME
+            )
+            out[:, lo:hi] = np.minimum.reduceat(m, offsets, axis=0)
+        signed = out.astype(np.int64)
+        return pd.Series(list(signed))
+
+    return minhash_sig
+
+
+def band_keys(sig: Column | str, bands: int = DEFAULT_BANDS, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """array<string> LSH band keys from a signature — JVM-side.
+
+    Key = "b<i>:" + xxhash64 of the band's rows, so keys from different
+    bands never collide (the reference's per-bucket discrimination,
+    /root/reference/src/HashDB.cpp:355-368).
+    """
+    c = F.col(sig) if isinstance(sig, str) else sig
+    r = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.concat(
+            F.lit("b"),
+            i.cast("string"),
+            F.lit(":"),
+            F.xxhash64(F.concat_ws(",", F.transform(F.slice(c, i * r + 1, r), lambda x: x.cast("string")))).cast("string"),
+        ),
+    )
+
+
+def with_minhash_bands(
+    docs: DataFrame,
+    doc_col: str = "doc",
+    k: int = 3,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """docs + ``bands`` column (array<string> of LSH keys)."""
+    sig_udf = make_minhash_udf(num_perm=num_perm, seed=seed)
+    return (
+        docs.withColumn("_shingles", shingle_hashes(doc_col, k=k))
+        .withColumn("_sig", sig_udf("_shingles"))
+        .withColumn("bands", band_keys("_sig", bands=bands, num_perm=num_perm))
+        .drop("_shingles", "_sig")
+    )
+
+
+def minhash_signature_py(tokens: list[str], k: int = 3, num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED) -> np.ndarray:
+    """Pure-python/numpy reference implementation for tests (no Spark).
+
+    NOTE: uses python's xxhash-free path — tests compare *pipeline*
+    signatures for determinism/similarity properties, not this exact
+    value, because shingle hashing lives JVM-side (xxhash64).
+    """
+    a, b = _perm_params(num_perm, seed)
+    if len(tokens) >= k:
+        shingles = {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+    else:
+        shingles = {" ".join(tokens)}
+    hs = np.array([np.uint64(hash(s) & 0xFFFFFFFFFFFFFFFF) for s in shingles], dtype=np.uint64)
+    m = (hs[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE_PRIME)
+    return m.min(axis=0).astype(np.int64)

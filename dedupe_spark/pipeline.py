@@ -1,0 +1,149 @@
+"""End-to-end entity-resolution pipeline over transcript tables.
+
+The reference's flagship flow (``insert_files``,
+/root/reference/src/deduplication.cpp:517-655) becomes one declarative
+batch job:
+
+  transcripts
+    -> register_turns (unique-turn registry + membership)     [D1]
+    -> conversation docs (stable turn order)                  [S6 analog]
+    -> blocking keys: exact md5 + MinHash/LSH bands           [C1, C2]
+    -> bloom pre-prune + salted skew-aware self-join          [I1, D1]
+    -> vectorized pair scoring (Jaccard gate -> Jaro-Winkler) [D2]
+    -> thresholded edges + exact-fp edges
+    -> large-star/small-star connected components             [clusters]
+    -> clusters / metrics committed as catalog snapshots      [S4]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedupe_spark.catalog import SnapshotCatalog
+from dedupe_spark.operators import blocking, clustering, lifecycle, minhash, normalize, scoring
+
+
+@dataclass
+class PipelineConfig:
+    shingle_k: int = 3
+    num_perm: int = 128
+    bands: int = 32
+    seed: int = 42
+    max_block: int = blocking.DEFAULT_MAX_BLOCK
+    salt_threshold: int = blocking.DEFAULT_SALT_THRESHOLD
+    salt_groups: int = blocking.DEFAULT_SALT_GROUPS
+    min_len_ratio: float = scoring.MIN_LEN_RATIO
+    checkpoint_dir: str | None = None
+    resume: bool = False
+    extra: dict = field(default_factory=dict)
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame
+    edges: DataFrame
+    scored_pairs: DataFrame
+    candidate_pairs: DataFrame
+    docs: DataFrame
+    unique_turns: DataFrame
+    membership: DataFrame
+    metrics: DataFrame
+
+
+def run(
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    catalog: SnapshotCatalog | None = None,
+) -> PipelineResult:
+    cfg = config or PipelineConfig()
+    spark = transcripts.sparkSession
+
+    # 1. turn-level registry (exact dedup of turns, the reference's core)
+    unique_turns, membership = lifecycle.register_turns(transcripts)
+
+    # 2. conversation documents in stable (conv_id, turn_idx) order
+    docs = normalize.conversation_docs(transcripts)
+    docs = docs.withColumn("exact_fp", F.md5("doc"))
+    docs = minhash.with_minhash_bands(
+        docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed
+    )
+    # the doc table is reused by blocking AND scoring — cache it once
+    docs = docs.persist()
+
+    # 3. exact-duplicate edges: linear-size first-writer-wins links
+    exact_edges = blocking.exact_key_pairs(docs, "conv_id", "exact_fp")
+
+    # 4. LSH candidate pairs: explode bands -> bloom prune -> salted join
+    blocks = blocking.explode_blocks(docs, "conv_id", "bands")
+    blocks = blocking.bloom_preprune(blocks)
+    cands = blocking.candidate_pairs(
+        blocks,
+        max_block=cfg.max_block,
+        salt_threshold=cfg.salt_threshold,
+        salt_groups=cfg.salt_groups,
+    )
+    # exact pairs need no scoring — drop them from the candidate set
+    cands = cands.join(
+        exact_edges.withColumnRenamed("id_a", "ea").withColumnRenamed("id_b", "eb"),
+        (F.col("id_a") == F.col("ea")) & (F.col("id_b") == F.col("eb")),
+        "left_anti",
+    )
+
+    # 5. verification scoring (cheap -> expensive)
+    scored = scoring.score_pairs(
+        cands, docs.select("conv_id", "doc", "doc_len"), min_len_ratio=cfg.min_len_ratio
+    )
+    sim_edges = scored.where("is_dup").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+
+    # 6. transitive clustering
+    edges = exact_edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(sim_edges)
+    cc = clustering.connected_components(
+        edges, checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume
+    )
+    clusters = clustering.clusters_with_singletons(docs.select("conv_id"), cc)
+
+    metrics = _metrics(docs, blocks, cands, scored, clusters)
+
+    result = PipelineResult(
+        clusters=clusters,
+        edges=edges,
+        scored_pairs=scored,
+        candidate_pairs=cands,
+        docs=docs,
+        unique_turns=unique_turns,
+        membership=membership,
+        metrics=metrics,
+    )
+    if catalog is not None:
+        commit(result, catalog)
+    return result
+
+
+def _metrics(docs, blocks, cands, scored, clusters) -> DataFrame:
+    spark = docs.sparkSession
+    rows = [
+        ("n_conversations", float(docs.count())),
+        ("n_block_rows_after_prune", float(blocks.count())),
+        ("n_candidate_pairs", float(cands.count())),
+        ("n_scored_pairs", float(scored.count())),
+        ("n_duplicate_pairs", float(scored.where("is_dup").count())),
+        ("n_clusters", float(clusters.select("cluster_id").distinct().count())),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
+def commit(result: PipelineResult, catalog: SnapshotCatalog) -> None:
+    """Atomic publish of all output tables (reference: splice + rename,
+    src/deduplication.cpp:612-640)."""
+    catalog.write("unique_turns", result.unique_turns)
+    catalog.write("membership", result.membership)
+    catalog.write("clusters", result.clusters)
+    catalog.write("edges", result.edges)
+    catalog.write("metrics", result.metrics)
