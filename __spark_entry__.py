@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (or a
+training-data-pipeline op the north star adds), expressed Spark-first in
+``dedupe_spark``; ``oracle_sql()`` holds the ANSI-SQL equivalent DuckDB
+runs on the same parquet. Column names/aliases match 1:1. Float-valued
+columns are rounded on both sides (or dropped from the compared output)
+so the order-insensitive value hash is stable across engines.
 """
 
 from __future__ import annotations
@@ -12,27 +13,690 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect, matching dedupe_spark expressions)
+# --------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9 ]', ' ', 'g'),"
+    " '  +', ' ', 'g'))"
+)
+
+_GRAMS3_SQL = f"""
+norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+grams AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+    FROM tok, range(1, greatest(array_length(toks) - 2, 1) + 1) AS r(i)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# relational operator queries (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregation w/ partial+final agg (SURVEY §2.6 'Aggregation')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_mktsegment_revenue(spark, sf_dir):
+    """Shuffle hash join + agg (SURVEY §2.6 'Equi-join')."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q03_region_customer_counts(spark, sf_dir):
+    """Broadcast join chain over small dims (SURVEY §2.5 I7)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q04_customers_with_orders(spark, sf_dir):
+    """Left-semi join = EXISTS (SURVEY §2.6; reference keep/drop filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q05_customers_without_orders(spark, sf_dir):
+    """Left-anti join = NOT EXISTS (reference remove_files survivor scan,
+    src/deduplication.cpp:264)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q06_gc_renumber(spark, sf_dir):
+    """GC renumbering: survivors densely renumbered (reference
+    src/deduplication.cpp:344 running renumber, D5)."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    survivors = p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+    w = Window.orderBy("p_partkey")
+    return survivors.select(
+        "p_partkey", (F.row_number().over(w).cast("long") - 1).alias("new_id")
+    )
+
+
+def q07_topk_per_group(spark, sf_dir):
+    """Top-k per group via ranking window (SURVEY §2.6 'Window')."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def q08_intersect_keys(spark, sf_dir):
+    """Set intersection (reference bloom set algebra, BloomFilter.cpp:161-198)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    return a.intersect(b)
+
+
+def q09_except_keys(spark, sf_dir):
+    """Set difference."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    b = o.select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b.distinct())
+
+
+def q10_rollup_customers(spark, sf_dir):
+    """Rollup metrics (SURVEY §2.6 'Grouping sets')."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q11_string_functions(spark, sf_dir):
+    """String scalar functions (reference utils/FileType hex + suffix,
+    src/FileType.cpp:98-111, src/utils.cpp:70-77)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.lower(F.hex(F.col("p_partkey"))).alias("hex_key"),
+        F.length("p_name").alias("name_len"),
+        F.substring_index("p_type", " ", -1).alias("type_tail"),
+    )
+
+
+def q12_monthly_orders(spark, sf_dir):
+    """Date/time functions + agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+        )
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q13_part_refcount(spark, sf_dir):
+    """Refcount per referenced block (reference D4,
+    src/deduplication.cpp:280-293): groupBy-count + outer join zero-fill."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rc = li.groupBy("l_partkey").agg(F.count("*").alias("rc"))
+    return p.join(rc, p.p_partkey == rc.l_partkey, "left").select(
+        "p_partkey", F.coalesce("rc", F.lit(0)).alias("refcount")
+    )
+
+
+def q14_running_total(spark, sf_dir):
+    """Running aggregates (reference's removed_so_far running counter,
+    src/deduplication.cpp:344)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+        F.count("*").over(w).alias("running_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / text ops (documents)
+# --------------------------------------------------------------------------
+
+
+def q20_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: md5 hash-groupBy, first-writer-wins (reference D1)."""
+    from dedupe_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text")
+
+
+def q21_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH candidate pairs (md5-string permutations, oracle-exact)."""
+    from dedupe_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_perm=9, rows_per_band=3)
+
+
+def q22_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard similarity join (no UDF, inverted-index join)."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q23_simhash(spark, sf_dir):
+    """SimHash document signatures (60-bit, expression-only)."""
+    from dedupe_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def q24_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style min-hash fingerprint over char 8-grams (reference
+    rolling-checksum sampling, src/checksum.cpp:68-76)."""
+    from dedupe_spark.operators.text_analysis import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return document_fingerprint(d, "text").select("doc_id", "doc_fp")
+
+
+def q25_lang_id(spark, sf_dir):
+    """Heuristic stopword-marker language identification."""
+    from dedupe_spark.operators.text_analysis import predict_language
+
+    d = _t(spark, sf_dir, "documents")
+    return predict_language(d, "text").select(
+        "doc_id", "pred_lang", (F.col("pred_lang") == F.col("lang")).alias("correct")
+    )
+
+
+def q26_quality_scores(spark, sf_dir):
+    """Text-quality features + composite score."""
+    from dedupe_spark.operators.text_analysis import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_features(d, "text")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("quality_score", 2).alias("quality_score"),
+    )
+
+
+def q27_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish estimate."""
+    from dedupe_spark.operators.text_analysis import token_counts
+
+    d = _t(spark, sf_dir, "documents")
+    return token_counts(d, "text").select("doc_id", "n_tokens_ws", "n_tokens_bpe_est")
+
+
+def q28_cc_exact_clusters(spark, sf_dir):
+    """Connected components (large-star/small-star) over exact-duplicate
+    edges; closed-form oracle because exact-fp components are cliques."""
+    from dedupe_spark.operators.blocking import exact_key_pairs
+    from dedupe_spark.operators.clustering import clusters_with_singletons, connected_components
+    from dedupe_spark.operators.dedup import normalize_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_expr(F.col("text"))).alias("fp")
+    )
+    edges = exact_key_pairs(d, "doc_id", "fp").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    return clusters_with_singletons(d.select(F.col("doc_id").alias("conv_id")), cc).select(
+        F.col("conv_id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+
+def q30_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (broadcast query side, zip_with dot)."""
+    from dedupe_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = brute_force_topk(e, q, k=5)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q31_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (>= 0.95)."""
+    from dedupe_spark.operators.dedup import embedding_cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.95).select(
+        "id_a", "id_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# events: time-series / streaming-shaped batch ops
+# --------------------------------------------------------------------------
+
+
+def q40_event_windows(spark, sf_dir):
+    """Tumbling 5-minute window aggregation (batch form of the streaming
+    windowed metrics)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_millis("ts") / F.lit(300000)).cast("long")
+    return (
+        ev.groupBy((bucket * 300000).alias("window_start_ms"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q41_event_dedup(spark, sf_dir):
+    """Streaming-dedup semantics in batch: canonical event per
+    (user, type, quantized value) — first-writer-wins."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.floor(F.col("value") * 10).cast("long")
+    return (
+        ev.groupBy("user_id", "event_type", key.alias("value_bucket"))
+        .agg(F.min("event_id").alias("canonical_event_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q42_sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap session ids via lag + running sum."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, 0)
+    ms = F.unix_millis("ts")
+    gap = ms - F.lag(ms).over(w_lag)
+    new_sess = F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(w_run).alias("session_idx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document near-dup clustering on sf0.001 — MinHash/LSH
+    blocking -> exact-Jaccard verification -> connected components."""
+    from dedupe_spark.operators.clustering import clusters_with_singletons, connected_components
+    from dedupe_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(d, "doc_id", "text", num_perm=9, rows_per_band=3)
+    verified = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6).join(
+        cands, ["id_a", "id_b"], "left_semi"
+    )
+    edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    return clusters_with_singletons(d.select(F.col("doc_id").alias("conv_id")), cc).select(
+        F.col("conv_id").alias("doc_id"), "cluster_id"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_mktsegment_revenue": q02_mktsegment_revenue,
+        "q03_region_customer_counts": q03_region_customer_counts,
+        "q04_customers_with_orders": q04_customers_with_orders,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q06_gc_renumber": q06_gc_renumber,
+        "q07_topk_per_group": q07_topk_per_group,
+        "q08_intersect_keys": q08_intersect_keys,
+        "q09_except_keys": q09_except_keys,
+        "q10_rollup_customers": q10_rollup_customers,
+        "q11_string_functions": q11_string_functions,
+        "q12_monthly_orders": q12_monthly_orders,
+        "q13_part_refcount": q13_part_refcount,
+        "q14_running_total": q14_running_total,
+        "q20_exact_dedup_docs": q20_exact_dedup_docs,
+        "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
+        "q22_ngram_jaccard_pairs": q22_ngram_jaccard_pairs,
+        "q23_simhash": q23_simhash,
+        "q24_doc_fingerprint": q24_doc_fingerprint,
+        "q25_lang_id": q25_lang_id,
+        "q26_quality_scores": q26_quality_scores,
+        "q27_token_counts": q27_token_counts,
+        "q28_cc_exact_clusters": q28_cc_exact_clusters,
+        "q30_cosine_topk": q30_cosine_topk,
+        "q31_embedding_neardup": q31_embedding_neardup,
+        "q40_event_windows": q40_event_windows,
+        "q41_event_dedup": q41_event_dedup,
+        "q42_sessionize": q42_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _minhash_oracle_sql() -> str:
+    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(9)]
+    band_keys = [
+        f"'b{b}:' || md5(m{b * 3} || '|' || m{b * 3 + 1} || '|' || m{b * 3 + 2})"
+        for b in range(3)
+    ]
+    return f"""
+WITH {_GRAMS3_SQL},
+mins AS (SELECT doc_id, {', '.join(perms)} FROM grams GROUP BY doc_id),
+keys AS (
+    SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM mins
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (
+    SELECT doc_id, n.i * 4 + m.b AS bit,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, n.i + 1, 1)) - 1)
+                          >> m.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th, range(0, 15) AS n(i), range(0, 4) AS m(b)
+    GROUP BY doc_id, n.i * 4 + m.b
+)
+SELECT doc_id,
+       SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_sum = " + ".join(
+        f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
+        for w in ["the", "and", "of", "to", "is", "in", "a", "for", "on", "with"]
+    )
+    lang_scores = {
+        lang: " + ".join(
+            f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)}.0"
+            for m in markers
+        )
+        for lang, markers in {
+            "en": [" the ", " and ", " of ", " to ", " is "],
+            "de": [" der ", " und ", " die ", " ist ", " nicht "],
+            "fr": [" le ", " la ", " et ", " les ", " est "],
+            "es": [" el ", " los ", " que ", " es ", " una "],
+        }.items()
+    }
+    return {
+        "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q02_mktsegment_revenue": """
+SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+        "q03_region_customer_counts": """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "q04_customers_with_orders": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+        "q05_customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+        "q06_gc_renumber": """
+SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS new_id
+FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+        "q07_topk_per_group": """
+SELECT o_custkey, o_orderkey, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders) WHERE rank <= 3
+""",
+        "q08_intersect_keys": """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS k FROM orders
+""",
+        "q09_except_keys": """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS k FROM orders
+""",
+        "q10_rollup_customers": """
+SELECT r_name, n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        "q11_string_functions": r"""
+SELECT p_partkey,
+       regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+       string_split(p_type, ' ')[1] AS type_head,
+       lower(to_hex(p_partkey)) AS hex_key,
+       length(p_name) AS name_len,
+       string_split(p_type, ' ')[-1] AS type_tail
+FROM part
+""",
+        "q12_monthly_orders": """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""",
+        "q13_part_refcount": """
+SELECT p_partkey, coalesce(rc, 0) AS refcount
+FROM part LEFT JOIN (SELECT l_partkey, count(*) AS rc FROM lineitem GROUP BY l_partkey) li
+ON p_partkey = li.l_partkey
+""",
+        "q14_running_total": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER w, 2) AS running_revenue,
+       count(*) OVER w AS running_orders
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "q20_exact_dedup_docs": f"""
+SELECT md5({_NORM_SQL.format(c='text')}) AS fp,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "q21_minhash_lsh_pairs": _minhash_oracle_sql(),
+        "q22_ngram_jaccard_pairs": f"""
+WITH {_GRAMS3_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+""",
+        "q23_simhash": _simhash_oracle_sql(),
+        "q24_doc_fingerprint": """
+SELECT doc_id, min(md5(substr(text, r.i, 8))) AS doc_fp
+FROM documents, range(1, greatest(length(text) - 7, 1) + 1) AS r(i)
+GROUP BY doc_id
+""",
+        "q25_lang_id": f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {lang_scores['en']} AS s_en,
+           {lang_scores['de']} AS s_de,
+           {lang_scores['fr']} AS s_fr,
+           {lang_scores['es']} AS s_es
+    FROM documents
+),
+best AS (SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+                greatest(s_en, s_de, s_fr, s_es) AS b FROM scored)
+SELECT doc_id,
+       CASE WHEN s_en = b THEN 'en' WHEN s_de = b THEN 'de'
+            WHEN s_fr = b THEN 'fr' ELSE 'es' END AS pred_lang,
+       (CASE WHEN s_en = b THEN 'en' WHEN s_de = b THEN 'de'
+             WHEN s_fr = b THEN 'fr' ELSE 'es' END) = lang AS correct
+FROM best
+""",
+        "q26_quality_scores": f"""
+WITH f AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           array_length(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+           ({stop_sum}) / greatest(array_length(regexp_split_to_array(trim(text), '\\s+')), 1) AS stopword_ratio
+    FROM documents
+)
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(
+         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.8 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+FROM f
+""",
+        "q27_token_counts": """
+SELECT doc_id,
+       array_length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens_ws,
+       ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
+FROM documents
+""",
+        "q28_cc_exact_clusters": f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM fp
+""",
+        "q30_cosine_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+s AS (
+    SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(e.embedding, q.qv) AS cosine
+    FROM embeddings e, q WHERE e.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+""",
+        "q31_embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+""",
+        "q40_event_windows": """
+SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+        "q41_event_dedup": """
+SELECT user_id, event_type, floor(value * 10)::BIGINT AS value_bucket,
+       min(event_id) AS canonical_event_id, count(*) AS n_copies
+FROM events GROUP BY 1, 2, 3
+""",
+        "q42_sessionize": """
+SELECT user_id, event_id,
+       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
+""",
+    }

