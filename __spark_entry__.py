@@ -32,10 +32,15 @@ _NORM_SQL = (
 _GRAMS3_SQL = f"""
 norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
 tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+tokidx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(array_length(toks) - 2, 1))) AS i
+    FROM tok
+),
 grams AS (
     SELECT DISTINCT doc_id,
            array_to_string(list_slice(toks, i, i + 2), ' ') AS g
-    FROM tok, range(1, greatest(array_length(toks) - 2, 1) + 1) AS r(i)
+    FROM tokidx
 )
 """
 
@@ -240,7 +245,7 @@ def q21_minhash_lsh_pairs(spark, sf_dir):
     from dedupe_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", num_perm=9, rows_per_band=3)
+    return minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, rows_per_band=2)
 
 
 def q22_ngram_jaccard_pairs(spark, sf_dir):
@@ -356,7 +361,9 @@ def q40_event_windows(spark, sf_dir):
     """Tumbling 5-minute window aggregation (batch form of the streaming
     windowed metrics)."""
     ev = _t(spark, sf_dir, "events")
-    bucket = F.floor(F.unix_millis("ts") / F.lit(300000)).cast("long")
+    # driver parquet stores ts as TIMESTAMP_NTZ; session tz is pinned UTC
+    # so the cast is the same instant DuckDB's epoch_ms sees
+    bucket = F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / F.lit(300000)).cast("long")
     return (
         ev.groupBy((bucket * 300000).alias("window_start_ms"), "event_type")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -381,7 +388,7 @@ def q42_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w_lag.rowsBetween(Window.unboundedPreceding, 0)
-    ms = F.unix_millis("ts")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
     gap = ms - F.lag(ms).over(w_lag)
     new_sess = F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
     return ev.select(
@@ -404,7 +411,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     d = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_pairs(d, "doc_id", "text", num_perm=9, rows_per_band=3)
+    cands = minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, rows_per_band=2)
     verified = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6).join(
         cands, ["id_a", "id_b"], "left_semi"
     )
@@ -448,11 +455,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_oracle_sql() -> str:
-    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(9)]
+def _minhash_oracle_sql(num_perm: int = 12, r: int = 2) -> str:
+    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(num_perm)]
     band_keys = [
-        f"'b{b}:' || md5(m{b * 3} || '|' || m{b * 3 + 1} || '|' || m{b * 3 + 2})"
-        for b in range(3)
+        f"'b{b}:' || md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + ")"
+        for b in range(num_perm // r)
     ]
     return f"""
 WITH {_GRAMS3_SQL},
@@ -608,8 +615,10 @@ WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
 """,
         "q23_simhash": _simhash_oracle_sql(),
         "q24_doc_fingerprint": """
-SELECT doc_id, min(md5(substr(text, r.i, 8))) AS doc_fp
-FROM documents, range(1, greatest(length(text) - 7, 1) + 1) AS r(i)
+SELECT doc_id, min(md5(substr(text, i, 8))) AS doc_fp
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+      FROM documents)
 GROUP BY doc_id
 """,
         "q25_lang_id": f"""

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+
+Covers the flagship entity-resolution pipeline (over the deterministic
+transcript fixture, sized by SPARK_GRAFT_BENCH_CONVS) plus the headline
+operators over the driver-generated sf tables. Scaling evidence
+(local[8] vs local[32]) is produced separately by scripts/scaling_bench.py
+and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "4000"))
+
+
+def main() -> None:
+    from dedupe_spark.session import build_session
+
+    spark = build_session(
+        app_name="dedupe_bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+    )
+
+    import __spark_entry__ as entrymod
+    from dedupe_spark import fixtures, pipeline
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: full record-linkage pipeline over transcripts ---
+    t0 = time.time()
+    tr = fixtures.transcripts(spark, n_conv=BENCH_CONVS).persist()
+    n_turns = tr.count()
+    fixture_sec = time.time() - t0
+
+    t0 = time.time()
+    res = pipeline.run(tr)
+    n_clusters = res.clusters.count()
+    pipe_sec = time.time() - t0
+    timings["pipeline_entity_resolution"] = round(pipe_sec, 2)
+    extras["pipeline_turns"] = n_turns
+    extras["pipeline_turns_per_sec"] = round(n_turns / pipe_sec, 1)
+    extras["pipeline_clusters"] = n_clusters
+    extras["fixture_gen_sec"] = round(fixture_sec, 2)
+    tr.unpersist()
+
+    # --- headline operators over the sf tables ---
+    bench_queries = [
+        "q01_pricing_summary",
+        "q02_mktsegment_revenue",
+        "q07_topk_per_group",
+        "q13_part_refcount",
+        "q20_exact_dedup_docs",
+        "q21_minhash_lsh_pairs",
+        "q22_ngram_jaccard_pairs",
+        "q23_simhash",
+        "q28_cc_exact_clusters",
+        "q30_cosine_topk",
+        "q40_event_windows",
+        "q42_sessionize",
+    ]
+    qs = entrymod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 2)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 2)
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "extras": extras,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -296,6 +296,16 @@ def labeled_pairs(spark: SparkSession, n_conv: int = 200, seed: int = SEED) -> D
     rng = np.random.default_rng(seed + 1)
 
     rows = []
+    seen: set[tuple[str, str]] = set()
+
+    def add(a: str, b: str, is_dup: bool, cls: str) -> bool:
+        a, b = (a, b) if a < b else (b, a)
+        if (a, b) in seen:
+            return False
+        seen.add((a, b))
+        rows.append((a, b, is_dup, cls))
+        return True
+
     # positives: all within-cluster pairs (transitive closure of injection)
     for _, grp in plan.groupby("cluster_seed_id"):
         ids = sorted(grp["conv_id"])
@@ -305,16 +315,16 @@ def labeled_pairs(spark: SparkSession, n_conv: int = 200, seed: int = SEED) -> D
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a, b = ids[i], ids[j]
-                rows.append((a, b, True, cls.get(b) if cls.get(b) != "base" else cls.get(a)))
+                add(a, b, True, cls.get(b) if cls.get(b) != "base" else cls.get(a))
     n_pos = len(rows)
 
     # hard negatives: skeleton-sharing pairs
     hn = plan[plan["hardneg_partner"].notna()]
     for r in hn.itertuples(index=False):
-        a, b = sorted([r.conv_id, r.hardneg_partner])
-        rows.append((a, b, False, "hardneg"))
+        add(r.conv_id, r.hardneg_partner, False, "hardneg")
 
-    # random negatives: seeded sample of cross-cluster pairs, >=3x positives
+    # random negatives: seeded sample of distinct cross-cluster pairs,
+    # >= 3x the positive count
     all_ids = plan["conv_id"].to_numpy()
     cluster_of = dict(zip(plan["conv_id"], plan["cluster_seed_id"]))
     need = 3 * n_pos
@@ -323,10 +333,8 @@ def labeled_pairs(spark: SparkSession, n_conv: int = 200, seed: int = SEED) -> D
         a, b = all_ids[rng.integers(0, len(all_ids))], all_ids[rng.integers(0, len(all_ids))]
         if a == b or cluster_of[a] == cluster_of[b]:
             continue
-        a, b = sorted([a, b])
-        rows.append((a, b, False, "random_neg"))
-        got += 1
+        if add(a, b, False, "random_neg"):
+            got += 1
 
     pdf = pd.DataFrame(rows, columns=["conv_id_a", "conv_id_b", "is_dup", "dup_class"])
-    pdf = pdf.drop_duplicates(subset=["conv_id_a", "conv_id_b"])
     return spark.createDataFrame(pdf, schema=schemas.LABELED_PAIRS)

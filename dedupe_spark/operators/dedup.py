@@ -51,7 +51,7 @@ def token_ngrams(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_band_keys_sql(text: Column, num_perm: int = 9, rows_per_band: int = 3, ngram: int = 3) -> Column:
+def minhash_band_keys_sql(text: Column, num_perm: int = 12, rows_per_band: int = 2, ngram: int = 3) -> Column:
     """array<string> of LSH band keys via md5-string MinHash.
 
     Permutation j = lexicographic min over shingles of md5(j || ':' || s).
@@ -59,10 +59,14 @@ def minhash_band_keys_sql(text: Column, num_perm: int = 9, rows_per_band: int = 
     ANSI SQL (DuckDB oracle) because both engines agree on md5 hex.
     """
     grams = F.array_distinct(token_ngrams(text, ngram))
-    mins = [
-        F.array_min(F.transform(grams, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
-        for j in range(num_perm)
-    ]
+
+    def perm_min(j: int) -> Column:
+        # helper binds j properly; a `lambda s, j=j:` would be treated by
+        # Spark as a 2-arg (element, index) lambda and j would receive the
+        # array index instead of the permutation number
+        return F.array_min(F.transform(grams, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))))
+
+    mins = [perm_min(j) for j in range(num_perm)]
     n_bands = num_perm // rows_per_band
     keys = [
         F.md5(F.concat_ws("|", *mins[b * rows_per_band : (b + 1) * rows_per_band]))
@@ -72,7 +76,7 @@ def minhash_band_keys_sql(text: Column, num_perm: int = 9, rows_per_band: int = 
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 9, rows_per_band: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 12, rows_per_band: int = 2
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs sharing at least one LSH band key."""
     keyed = df.select(
@@ -134,25 +138,28 @@ def simhash64(text: Column, nibbles: int = 15) -> Column:
     """
     toks = F.array_distinct(F.split(normalize_expr(text), " "))
     hexes = F.transform(toks, lambda t: F.md5(t))
+
+    def nibble_col(ni: int) -> Column:
+        return F.transform(
+            hexes,
+            lambda h: F.instr(F.lit("0123456789abcdef"), F.substring(h, ni + 1, 1)) - 1,
+        )
+
+    def votes_col(nib: Column, mask: int) -> Column:
+        return F.aggregate(
+            nib,
+            F.lit(0),
+            lambda acc, v: acc + F.when(v.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
     bit_cols = []
     for ni in range(nibbles):
-        nib = F.transform(
-            hexes,
-            lambda h, ni=ni: F.instr(F.lit("0123456789abcdef"), F.substring(h, ni + 1, 1)) - 1,
-        )
+        nib = nibble_col(ni)
         for bi in range(4):
-            mask = 1 << bi
-            votes = F.aggregate(
-                nib,
-                F.lit(0),
-                lambda acc, v, mask=mask: acc
-                + F.when(v.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
-            )
+            votes = votes_col(nib, 1 << bi)
             bit_idx = ni * 4 + bi
             bit_cols.append(
-                F.when(votes > 0, F.lit(1).cast("long") * F.lit(2 ** bit_idx).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
+                F.when(votes > 0, F.lit(2 ** bit_idx).cast("long")).otherwise(F.lit(0).cast("long"))
             )
     out = bit_cols[0]
     for c in bit_cols[1:]:

@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedupe_spark.functions.ids import with_dense_id
-from dedupe_spark.operators.normalize import with_norm_and_fp
 
 
 def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -30,8 +29,15 @@ def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     over fingerprint order — assigned with the distributed dense-id
     helper (range partition + parallel windows + broadcast offsets), not
     a single-reducer global window.
+
+    Fingerprints are md5 of the **raw** turn text: the reference's
+    verification is byte-exact (blocks_cmp memcmp,
+    src/deduplication.cpp:1510), and raw fingerprints are what make the
+    reconstruction invariant (`extract(insert(X)) == X`, per-turn text
+    equality) hold exactly. Normalized fingerprints are a *linkage*
+    concept and live in the blocking stages, not the storage registry.
     """
-    t = with_norm_and_fp(transcripts)
+    t = transcripts.withColumn("fp", F.md5("text"))
     canon = (
         t.groupBy("fp")
         .agg(
@@ -55,12 +61,9 @@ def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def reconstruct(membership: DataFrame, unique_turns: DataFrame) -> DataFrame:
     """extract_file (src/deduplication.cpp:1602-1726): join the id list
-    back to block payloads in stable (conv_id, turn_idx) order.
-
-    NOTE: blocks are keyed by *normalized* fingerprints, so the
-    reconstruction returns the canonical text per block. The strict
-    per-turn **raw** text equality invariant is verified by registering
-    with raw-text fingerprints (norm == identity) — tests cover both.
+    back to block payloads in stable (conv_id, turn_idx) order. With
+    raw-text fingerprints this is an exact inverse of register_turns —
+    the per-turn text equality invariant (BASELINE.json input_hint).
     """
     return (
         membership.join(unique_turns.select("block_id", "text"), "block_id")

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the entity-resolution pipeline.
+
+Cluster usage (the deployment shape the north rule specifies):
+
+    cd /root/repo && zip -r /tmp/dedupe_spark.zip dedupe_spark
+    spark-submit --master <cluster-master> \
+        --py-files /tmp/dedupe_spark.zip \
+        scripts/run_pipeline.py \
+        --input  <parquet-or-iceberg path of transcripts> \
+        --output <warehouse dir> \
+        [--checkpoint-dir <dir>] [--resume]
+
+Local smoke (this sandbox):
+
+    python scripts/run_pipeline.py --fixture-convs 500 --output /tmp/wh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path with transcript schema")
+    ap.add_argument("--fixture-convs", type=int, help="generate the synthetic fixture instead")
+    ap.add_argument("--output", required=True, help="warehouse directory for result tables")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from dedupe_spark.catalog import SnapshotCatalog
+    from dedupe_spark.pipeline import PipelineConfig, run
+    from dedupe_spark.session import build_session
+
+    spark = build_session(app_name="dedupe_pipeline", master=args.master)
+
+    if args.fixture_convs:
+        from dedupe_spark import fixtures
+
+        transcripts = fixtures.transcripts(spark, n_conv=args.fixture_convs)
+    elif args.input:
+        from dedupe_spark import schemas
+
+        transcripts = spark.read.schema(schemas.TRANSCRIPTS).parquet(args.input)
+    else:
+        ap.error("one of --input / --fixture-convs is required")
+
+    catalog = SnapshotCatalog(spark, args.output)
+    cfg = PipelineConfig(checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+
+    t0 = time.time()
+    result = run(transcripts, cfg, catalog=catalog)
+    n = result.clusters.count()
+    print(json.dumps({"clusters_table_rows": n, "wall_sec": round(time.time() - t0, 2),
+                      "warehouse": args.output}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

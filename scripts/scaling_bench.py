@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the north rule.
+
+The rule demands >=0.8 throughput (turns/sec) scaling efficiency between
+N and 4N executor clusters; this sandbox has one machine, so per the
+driver instruction we run the IDENTICAL pipeline job at two parallelism
+levels — local[8] vs local[32] — on the same input and report both
+throughputs plus efficiency = (T_32 / T_8) / 4.
+
+Each measurement runs in a fresh subprocess (own JVM) so the two levels
+don't share executor state. Prints one JSON line; use --update-baseline
+to append the result table to BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from dedupe_spark.session import build_session
+from dedupe_spark import fixtures, pipeline
+
+cpus = int(sys.argv[1])
+n_conv = int(sys.argv[2])
+spark = build_session(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
+                      shuffle_partitions=max(cpus, 8))
+tr = fixtures.transcripts(spark, n_conv=n_conv).persist()
+n_turns = tr.count()
+# warm the python workers + JIT once so the measured run is steady-state
+pipeline.run(tr).clusters.count()
+t0 = time.time()
+res = pipeline.run(tr)
+res.clusters.count()
+sec = time.time() - t0
+print(json.dumps({{"cpus": cpus, "n_turns": n_turns, "sec": round(sec, 2),
+                   "turns_per_sec": round(n_turns / sec, 1)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, n_conv: int) -> dict:
+    script = CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), str(n_conv)],
+        capture_output=True, text=True, check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_conv = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "3000"))
+    lo = run_level(8, n_conv)
+    hi = run_level(32, n_conv)
+    eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    result = {
+        "n_conv": n_conv,
+        "n_turns": lo["n_turns"],
+        "local8": lo,
+        "local32": hi,
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(result))
+    if "--update-baseline" in sys.argv:
+        with open(os.path.join(REPO, "BASELINE.md"), "a") as f:
+            f.write(
+                "\n## Measured scaling evidence (scripts/scaling_bench.py)\n\n"
+                f"| parallelism | turns | wall sec | turns/sec |\n|---|---|---|---|\n"
+                f"| local[8] | {lo['n_turns']} | {lo['sec']} | {lo['turns_per_sec']} |\n"
+                f"| local[32] | {hi['n_turns']} | {hi['sec']} | {hi['turns_per_sec']} |\n\n"
+                f"Scaling efficiency (local[32] vs local[8], 4x cores): "
+                f"**{eff:.3f}** (target >= 0.8 per BASELINE.json).\n"
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.clustering import (
+    clusters_with_singletons,
+    connected_components,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _assign(cc_df):
+    return {r["node"]: r["cluster_id"] for r in cc_df.collect()}
+
+
+def test_chain_component(spark):
+    # a long chain exercises the multi-round star contraction
+    e = _edges(spark, [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(9)])
+    got = _assign(connected_components(e))
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 10
+
+
+def test_two_components_and_cycle(spark):
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x"), ("z", "y")],
+    )
+    got = _assign(connected_components(e))
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "x"}
+
+
+def test_direction_and_duplicates_irrelevant(spark):
+    e1 = _edges(spark, [("b", "a"), ("a", "b"), ("c", "b"), ("c", "b")])
+    got = _assign(connected_components(e1))
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_singletons_fill(spark):
+    e = _edges(spark, [("a", "b")])
+    cc = connected_components(e)
+    all_ids = spark.createDataFrame([("a",), ("b",), ("q",)], "conv_id string")
+    got = {r["conv_id"]: r["cluster_id"] for r in clusters_with_singletons(all_ids, cc).collect()}
+    assert got == {"a": "a", "b": "a", "q": "q"}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    # run once with checkpoints, then resume from the snapshot — identical result
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)] + [("m0", "m1"), ("m1", "m2")]
+    e = _edges(spark, pairs)
+    d1 = str(tmp_path / "cc1")
+    full = _assign(connected_components(e, checkpoint_dir=d1))
+    resumed = _assign(connected_components(e, checkpoint_dir=d1, resume=True))
+    assert full == resumed
+    # metrics were recorded per iteration
+    import os
+
+    assert os.path.isdir(os.path.join(d1, "metrics"))

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing outside in the garden"
+    )
+    rows = [
+        (1, base),
+        (2, base.upper()),  # exact dup after normalization
+        (3, base.replace("quick", "fast").replace("cat", "kitten")),  # near dup
+        (4, "short unrelated snippet about query planners"),
+        (5, "another very different document describing streaming watermarks and state stores in detail"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_exact_dedup(doc_df):
+    got = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(doc_df, "doc_id", "text").collect()}
+    assert got[1] == 2  # 1 and 2 collapse
+    assert got[3] == 1 and got[4] == 1 and got[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(doc_df):
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(doc_df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+
+def test_ngram_jaccard_exact_values(doc_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(doc_df, "doc_id", "text", threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dup_small_hamming(spark, doc_df):
+    from dedupe_spark.operators.dedup import simhash64
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(doc_df, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(1, 2)] == 0  # exact dup -> identical simhash
+    assert (1, 4) not in pairs
+    # hamming-distance ordering property: near dup is much closer than
+    # unrelated text (unbanded direct check — simhash on short token sets
+    # is coarse, so the property, not a fixed band hit, is the contract)
+    sh = {r["doc_id"]: r["sh"] for r in doc_df.select("doc_id", simhash64(doc_df.text).alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[5])
+    assert ham(sh[1], sh[3]) <= 20
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).collect()}
+    assert got == {(1, 2)}
+
+
+def test_embedding_cosine_with_buckets_same_result(spark):
+    rows = [
+        (1, [1.0, 0.2, 0.1, 0.05]),
+        (2, [0.98, 0.21, 0.1, 0.05]),
+        (3, [-0.5, 0.9, -0.4, 0.2]),
+        (4, [0.9, 0.25, 0.12, 0.04]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).collect()}
+    bucketed = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95, block_planes=2).collect()
+    }
+    # same-bucket near-dups must be found by the bucketed path too
+    assert bucketed == plain

@@ -1,0 +1,84 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark import fixtures, pipeline
+
+N = 300
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    tr = fixtures.transcripts(spark, n_conv=N).persist()
+    res = pipeline.run(tr)
+    res.clusters.persist().count()
+    yield tr, res
+
+
+def _f1(spark, clusters, n_conv):
+    lp = fixtures.labeled_pairs(spark, n_conv=n_conv)
+    ca = clusters.withColumnRenamed("conv_id", "conv_id_a").withColumnRenamed("cluster_id", "cl_a")
+    cb = clusters.withColumnRenamed("conv_id", "conv_id_b").withColumnRenamed("cluster_id", "cl_b")
+    ev = lp.join(ca, "conv_id_a").join(cb, "conv_id_b").withColumn(
+        "pred", F.col("cl_a") == F.col("cl_b")
+    )
+    agg = ev.agg(
+        F.sum(F.when(F.col("is_dup") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_dup") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_dup") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"], agg["fp"], agg["fn"]
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return 2 * prec * rec / (prec + rec) if prec + rec else 0.0, prec, rec
+
+
+def test_pairwise_f1_target(spark, result):
+    """BASELINE.json metric: pairwise F1 >= 0.99 on labeled pairs."""
+    _, res = result
+    f1, prec, rec = _f1(spark, res.clusters, N)
+    assert f1 >= 0.99, f"F1={f1:.4f} precision={prec:.4f} recall={rec:.4f}"
+
+
+def test_clusters_match_expected_partition(spark, result):
+    """Cluster assignment equals the injected clusters as a set partition
+    (FIXTURES.md §3: compare up to relabeling; representative = min id,
+    so labels actually coincide)."""
+    _, res = result
+    exp = fixtures.expected_clusters(spark, n_conv=N)
+    diff = (
+        res.clusters.join(exp.withColumnRenamed("cluster_id", "expected"), "conv_id")
+        .where(F.col("cluster_id") != F.col("expected"))
+    )
+    mismatched = diff.count()
+    total = exp.count()
+    # allow the F1 slack: <=1% of conversations may sit in a wrong cluster
+    assert mismatched <= 0.01 * total, f"{mismatched}/{total} conversations mis-clustered"
+
+
+def test_every_conversation_assigned_once(spark, result):
+    tr, res = result
+    n_conv = tr.select("conv_id").distinct().count()
+    assert res.clusters.count() == n_conv
+    assert res.clusters.select("conv_id").distinct().count() == n_conv
+
+
+def test_edges_within_clusters_only(spark, result):
+    """Transitivity sanity: every accepted edge connects same-cluster nodes."""
+    _, res = result
+    c = res.clusters
+    bad = (
+        res.edges.join(c.withColumnRenamed("conv_id", "src").withColumnRenamed("cluster_id", "cl_s"), "src")
+        .join(c.withColumnRenamed("conv_id", "dst").withColumnRenamed("cluster_id", "cl_d"), "dst")
+        .where(F.col("cl_s") != F.col("cl_d"))
+    )
+    assert bad.count() == 0
+
+
+def test_pipeline_deterministic_across_runs(spark, result):
+    tr, res = result
+    res2 = pipeline.run(tr)
+    a = sorted(tuple(r) for r in res.clusters.collect())
+    b = sorted(tuple(r) for r in res2.clusters.collect())
+    assert a == b

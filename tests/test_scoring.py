@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.scoring import (
+    jaro_winkler_py,
+    levenshtein_ratio_py,
+    score_pairs,
+)
+
+
+def test_jaro_winkler_known_values():
+    # classic textbook values
+    assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-3)
+    assert jaro_winkler_py("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-3)
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    assert jaro_winkler_py("abc", "xyz") == 0.0
+    assert jaro_winkler_py("", "abc") == 0.0
+
+
+def test_levenshtein_known_values():
+    assert levenshtein_ratio_py("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert levenshtein_ratio_py("flaw", "lawn") == pytest.approx(1 - 2 / 4)
+    assert levenshtein_ratio_py("same", "same") == 1.0
+    assert levenshtein_ratio_py("", "ab") == 0.0
+
+
+def test_score_pairs_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog near the river bank today"),
+            ("b", "the quick brown fox jumps over the lazy dog near the river bank today"),
+            ("c", "the fast brown fox jumps over the lazy dog near the river bank today"),
+            ("d", "completely unrelated text about spark shuffle partitions and joins"),
+            ("e", "xy"),
+        ],
+        "conv_id string, doc string",
+    ).withColumn("doc_len", F.length("doc"))
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["jaccard"], r["is_dup"])
+        for r in score_pairs(pairs, docs).collect()
+    }
+    assert got[("a", "b")][0] == 1.0 and got[("a", "b")][1]
+    assert got[("a", "c")][1]  # near duplicate accepted
+    assert not got[("a", "d")][1]  # unrelated rejected
+    assert ("a", "e") not in got  # length-band prefilter removed it
+
+
+def test_jw_only_computed_in_ambiguous_band(spark):
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("b", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            ("d", "one two three four five six seven eight nine ten"),
+        ],
+        "conv_id string, doc string",
+    ).withColumn("doc_len", F.length("doc"))
+    pairs = spark.createDataFrame([("a", "b"), ("a", "d")], "id_a string, id_b string")
+    rows = {(r["id_a"], r["id_b"]): r["jw"] for r in score_pairs(pairs, docs).collect()}
+    # identical pair: jaccard >= accept -> jw sentinel -1 (not computed)
+    assert rows[("a", "b")] == -1.0
+    assert rows[("a", "d")] == -1.0  # below gate -> also skipped
