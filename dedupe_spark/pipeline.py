@@ -38,6 +38,8 @@ class PipelineConfig:
     min_len_ratio: float = scoring.MIN_LEN_RATIO
     checkpoint_dir: str | None = None
     resume: bool = False
+    # metrics cost ~6 extra jobs (counts); opt in when publishing a run
+    compute_metrics: bool = False
     extra: dict = field(default_factory=dict)
 
 
@@ -109,7 +111,10 @@ def run(
     )
     clusters = clustering.clusters_with_singletons(docs.select("conv_id"), cc)
 
-    metrics = _metrics(docs, blocks, cands, scored, clusters)
+    if cfg.compute_metrics or catalog is not None:
+        metrics = _metrics(docs, blocks, cands, scored, clusters)
+    else:
+        metrics = spark.createDataFrame([], "metric string, value double")
 
     result = PipelineResult(
         clusters=clusters,

@@ -54,6 +54,7 @@ def build_session(
         # --- determinism / oracle comparability ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
