@@ -33,6 +33,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from dedupe_spark import fixtures, pipeline
 
+    # warm JIT + python worker pool once so per-query timings measure the
+    # queries, not process startup
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s * 1.0
+
+    spark.range(1_000_000, numPartitions=CPUS).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 

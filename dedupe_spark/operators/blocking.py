@@ -78,8 +78,12 @@ def candidate_pairs(
       salt_threshold < df   -> salted self-join (hot keys spread over G tasks)
       otherwise             -> plain self-join
     """
+    # NOTE: freq is O(distinct band keys) — at 10^12-turn scale that is
+    # far beyond broadcast range, so this stays a shuffle join (both
+    # sides hash-partitioned by band_key; the same exchange is then
+    # reused by the self-join below).
     freq = block_frequencies(blocks)
-    b = blocks.join(F.broadcast(freq.where(F.col("df") <= max_block)), "band_key")
+    b = blocks.join(freq.where(F.col("df") <= max_block), "band_key")
     cold = b.where(F.col("df") <= salt_threshold).drop("df")
     hot = b.where(F.col("df") > salt_threshold).drop("df")
 

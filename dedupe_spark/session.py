@@ -31,6 +31,16 @@ def build_session(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
 
+    # Shuffle spill/block files on tmpfs: this sandbox's disk is slow
+    # enough that concurrent shuffle writers at local[32] invert scaling
+    # (measured 3.85s -> 1.58s on a 50M-row groupBy). On a real cluster
+    # spark.local.dir points at executor-local NVMe — same role.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -56,6 +66,8 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.similarity import brute_force_topk, bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").persist(), vecs
+
+
+def _numpy_topk(vecs, qids, k):
+    norms = np.linalg.norm(vecs, axis=1)
+    out = {}
+    for q in qids:
+        cos = vecs @ vecs[q] / (norms * norms[q])
+        order = sorted(range(len(vecs)), key=lambda i: (-cos[i], i))
+        out[q] = [i for i in order if i != q][:k]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    queries = df.where(F.col("vec_id") < 3)
+    got = {}
+    for r in brute_force_topk(df, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    expect = _numpy_topk(vecs, [0, 1, 2], 5)
+    for q in expect:
+        assert [n for _, n in sorted(got[q])] == expect[q]
+
+
+def test_bucketed_finds_planted_near_duplicates(spark):
+    # the bucketed path's contract: near-identical vectors share the sign
+    # bucket (their projections barely move), so planted near-dups are found
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(20, 8)).astype(np.float32)
+    rows = []
+    for i in range(20):
+        rows.append((i, base[i].tolist()))
+        rows.append((100 + i, (base[i] + rng.normal(scale=0.01, size=8).astype(np.float32)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") < 20)
+    got = {}
+    for r in bucketed_topk(df, queries, k=1, planes=2).collect():
+        got[r["query_id"]] = r["neighbor_id"]
+    hits = sum(1 for q, n in got.items() if n == q + 100)
+    assert hits >= 18, f"only {hits}/20 planted near-dups found"
+
+
+def test_bucketed_is_subset_semantics(spark, vectors):
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") < 5)
+    rows = bucketed_topk(df, queries, k=3, planes=2).collect()
+    # ranks are dense 1..k' per query and neighbors never include the query
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
