@@ -6,8 +6,12 @@ same dense 0..n-1 numbering with all-parallel stages:
 
   1. range-partition by the order columns (sampled range exchange)
   2. row_number within each partition (parallel windows)
-  3. add per-partition offsets (one tiny collect of partition counts,
-     broadcast back as a literal map)
+  3. add per-partition offsets: a running sum over the tiny
+     (one-row-per-partition) count table, broadcast-joined back
+
+Everything is lazy — no driver collect — so callers can build the plan
+without triggering jobs, and the only single-partition window runs over
+O(num_partitions) rows.
 
 The result is identical to the global window for unique keys, and
 deterministic for any input partitioning.
@@ -27,24 +31,24 @@ def with_dense_id(
 ) -> DataFrame:
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    # persisted because both the count branch and the numbering branch read
+    # it: the range exchange must be sampled exactly once, or the two
+    # branches could disagree on partition boundaries
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
-    # per-partition counts -> starting offsets (tiny: one row per partition)
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
-    counts.sort(key=lambda r: r["_pid"])
-    offsets: dict[int, int] = {}
-    acc = 0
-    for r in counts:
-        offsets[r["_pid"]] = acc
-        acc += r["_cnt"]
-    offset_expr = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]), F.col("_pid")
-    ) if offsets else F.lit(0)
-
+    # running-sum offsets over the tiny per-partition count table
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset")
+    )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (
-        ranged.withColumn("_rn", F.row_number().over(w).cast("long") - 1)
-        .withColumn(id_col, (F.col("_rn") + offset_expr.cast("long")))
-        .drop("_pid", "_rn")
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rn", F.row_number().over(w).cast("long") - 1)
+        .withColumn(id_col, F.col("_rn") + F.col("_offset").cast("long"))
+        .drop("_pid", "_rn", "_offset")
     )

@@ -102,14 +102,17 @@ def connected_components(
             start_iter, path = latest
             e = spark.read.parquet(path)
 
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoint + checksum: the checksum action materializes the
+    # checkpoint in the SAME job, halving driver round-trips per iteration
+    # (driver latency is the serial fraction that caps scaling efficiency)
+    e = e.localCheckpoint(eager=False)
     prev = _checksum(e)
     for it in range(start_iter, max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
         if checkpoint_dir:
             _write_snapshot(e, checkpoint_dir, it + 1, cur)
-        if cur == prev:
+        if cur == prev or cur[0] == 0:
             break
         prev = cur
 
