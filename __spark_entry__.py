@@ -227,6 +227,65 @@ def q14_running_total(spark, sf_dir):
     )
 
 
+def q15_pivot_order_status(spark, sf_dir):
+    """Pivot (conditional aggregation) — SURVEY §2.6 'Pivot'."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count("*"))
+        .na.fill(0)
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.col("O").alias("status_o"),
+        F.col("F").alias("status_f"),
+        F.col("P").alias("status_p"),
+    )
+
+
+def q16_cube_counts(spark, sf_dir):
+    """CUBE grouping sets."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q17_asof_join(spark, sf_dir):
+    """As-of join (composed from built-ins; see operators/asof.py for the
+    merge_asof scale path)."""
+    from dedupe_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = asof_join(o, e, key="user_id", left_ts="o_orderdate", right_ts="ts", right_vals=["event_id"])
+    return out.select("o_orderkey", F.col("asof_event_id").alias("last_event_id"))
+
+
+def q18_range_join(spark, sf_dir):
+    """Bounded range join via time bucketization."""
+    from dedupe_spark.operators.asof import range_join_count
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    e = _t(spark, sf_dir, "events")
+    return range_join_count(
+        o, e, left_id="o_orderkey", key="user_id", left_ts="o_orderdate",
+        right_ts="ts", window_seconds=7 * 86400,
+    )
+
+
 # --------------------------------------------------------------------------
 # dedup / text ops (documents)
 # --------------------------------------------------------------------------
@@ -438,6 +497,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_monthly_orders": q12_monthly_orders,
         "q13_part_refcount": q13_part_refcount,
         "q14_running_total": q14_running_total,
+        "q15_pivot_order_status": q15_pivot_order_status,
+        "q16_cube_counts": q16_cube_counts,
+        "q17_asof_join": q17_asof_join,
+        "q18_range_join": q18_range_join,
         "q20_exact_dedup_docs": q20_exact_dedup_docs,
         "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
         "q22_ngram_jaccard_pairs": q22_ngram_jaccard_pairs,
@@ -591,6 +654,38 @@ SELECT o_custkey, o_orderkey,
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+        "q15_pivot_order_status": """
+SELECT c_mktsegment,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+""",
+        "q16_cube_counts": """
+SELECT r_name, c_mktsegment, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+""",
+        "q17_asof_join": """
+SELECT o_orderkey, last_event_id FROM (
+  SELECT o.o_orderkey,
+         e.event_id AS last_event_id,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM orders o LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+) WHERE rn = 1
+""",
+        "q18_range_join": """
+SELECT o.o_orderkey, count(e.user_id) AS n_in_range
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND epoch_ms(e.ts) >= epoch_ms(o.o_orderdate)
+ AND epoch_ms(e.ts) <  epoch_ms(o.o_orderdate) + 604800000
+GROUP BY o.o_orderkey
 """,
         "q20_exact_dedup_docs": f"""
 SELECT md5({_NORM_SQL.format(c='text')}) AS fp,

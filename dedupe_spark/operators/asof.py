@@ -1,0 +1,154 @@
+"""As-of and range joins — operators Spark lacks natively.
+
+Two implementations each, per the custom-operator preference order
+(compose built-ins first, Pandas-UDF second):
+
+* ``asof_join``          — composition: equi-join on key + time filter +
+                           max-ts-per-left-row (greatest-n-per-group).
+                           Exact, SQL-oracle-checkable, but O(|matches|)
+                           intermediate. Best when the time band is
+                           selective.
+* ``asof_join_pandas``   — ``applyInPandas`` per key group running
+                           ``pd.merge_asof`` (sorted merge, O(n+m) per
+                           group). The scale path when keys are many and
+                           per-key series are long.
+* ``range_join_count``   — bucketized range join: map both sides to
+                           coarse time buckets, equi-join on
+                           (key, bucket) over the bucket span, filter the
+                           exact range. Turns an O(n*m) theta join into a
+                           bounded equi-join (the standard trick AQE
+                           cannot apply by itself).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """For each left row, the latest right row with right_ts <= left_ts.
+
+    Left rows with no match are kept (null right columns).
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
+    )
+    joined = l.join(r, cond, "left")
+    from pyspark.sql import Window
+
+    # deterministic under ties: latest ts, then greatest value columns
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(
+        F.col(f"r.{right_ts}").desc_nulls_last(),
+        *[F.col(f"r.{c}").desc_nulls_last() for c in right_vals],
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            *[F.col(f"l.{c}") for c in left.columns],
+            *[F.col(f"r.{c}").alias(f"asof_{c}") for c in right_vals],
+        )
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: list[str],
+) -> DataFrame:
+    """merge_asof per key group — the scale path.
+
+    Both sides are co-grouped by key (one shuffle each); each group runs a
+    sorted O(n+m) merge in pandas. No quadratic intermediate.
+    """
+    out_fields = [left.schema[c] for c in left.columns] + [
+        T.StructField(f"asof_{c}", right.schema[c].dataType, True) for c in right_vals
+    ]
+    out_schema = T.StructType(out_fields)
+    lcols, rcols = list(left.columns), [key, right_ts, *right_vals]
+
+    def merge(key_val, dfs):
+        lpdf, rpdf = dfs
+        lpdf = lpdf.sort_values(left_ts)
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        rpdf = rpdf.sort_values(right_ts)
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[right_ts, *right_vals]].rename(columns={c: f"asof_{c}" for c in right_vals}),
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        return merged[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.select(*rcols).groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """(left_id, n_in_range): count of right rows with right_ts in
+    [left_ts, left_ts + window) sharing ``key`` — bucketized so the theta
+    join becomes a bounded equi-join. ``left_id`` must be unique."""
+    bucket_seconds = bucket_seconds or window_seconds
+    n_buckets = window_seconds // bucket_seconds + 1
+    lsec = F.unix_millis(F.col(left_ts).cast("timestamp")) / 1000.0
+    rsec = F.unix_millis(F.col(right_ts).cast("timestamp")) / 1000.0
+
+    l = left.select(F.col(left_id).alias("_lid"), F.col(key).alias("_k"), lsec.alias("_lsec"))
+    l_exp = l.withColumn(
+        "_bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_buckets)),
+                lambda i: F.floor(F.col("_lsec") / bucket_seconds).cast("long") + i.cast("long"),
+            )
+        ),
+    )
+    r = right.select(
+        F.col(key).alias("_k"),
+        rsec.alias("_rsec"),
+        F.floor(rsec / bucket_seconds).cast("long").alias("_bucket"),
+    )
+    counts = (
+        l_exp.join(r, ["_k", "_bucket"])
+        .where(
+            (F.col("_rsec") >= F.col("_lsec"))
+            & (F.col("_rsec") < F.col("_lsec") + F.lit(float(window_seconds)))
+        )
+        .groupBy("_lid")
+        .agg(F.count("*").alias("n_in_range"))
+    )
+    return (
+        l.select("_lid")
+        .join(counts, "_lid", "left")
+        .na.fill({"n_in_range": 0})
+        .select(F.col("_lid").alias(left_id), "n_in_range")
+    )
