@@ -429,6 +429,36 @@ def q40_event_windows(spark, sf_dir):
     )
 
 
+def q19_multiway_join(spark, sf_dir):
+    """Multi-way join + agg (mini TPC-H Q5 shape): revenue by nation of
+    the supplier, via lineitem -> supplier -> nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q43_json_extract(spark, sf_dir):
+    """JSON scalar extraction from the events.props column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+        )
+    )
+
+
 def q41_event_dedup(spark, sf_dir):
     """Streaming-dedup semantics in batch: canonical event per
     (user, type, quantized value) — first-writer-wins."""
@@ -501,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_cube_counts": q16_cube_counts,
         "q17_asof_join": q17_asof_join,
         "q18_range_join": q18_range_join,
+        "q19_multiway_join": q19_multiway_join,
         "q20_exact_dedup_docs": q20_exact_dedup_docs,
         "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
         "q22_ngram_jaccard_pairs": q22_ngram_jaccard_pairs,
@@ -515,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
+        "q43_json_extract": q43_json_extract,
     }
 
 
@@ -686,6 +718,20 @@ FROM orders o LEFT JOIN events e
  AND epoch_ms(e.ts) >= epoch_ms(o.o_orderdate)
  AND epoch_ms(e.ts) <  epoch_ms(o.o_orderdate) + 604800000
 GROUP BY o.o_orderkey
+""",
+        "q19_multiway_join": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""",
+        "q43_json_extract": """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+FROM events GROUP BY event_type
 """,
         "q20_exact_dedup_docs": f"""
 SELECT md5({_NORM_SQL.format(c='text')}) AS fp,
