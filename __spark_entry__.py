@@ -235,7 +235,7 @@ def q15_pivot_order_status(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["O", "F", "P"])
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
     return piv.select(

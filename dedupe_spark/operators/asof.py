@@ -82,8 +82,7 @@ def asof_join_pandas(
     out_schema = T.StructType(out_fields)
     lcols, rcols = list(left.columns), [key, right_ts, *right_vals]
 
-    def merge(key_val, dfs):
-        lpdf, rpdf = dfs
+    def merge(lpdf, rpdf):
         lpdf = lpdf.sort_values(left_ts)
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])

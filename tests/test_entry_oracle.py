@@ -45,7 +45,9 @@ def _norm_value(v):
 
 def _norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm_value(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm_value(r[i]) for i in order) for r in rows]
+    # null-safe sort: rows from ROLLUP/CUBE contain Nones
+    return sorted(normed, key=lambda row: tuple((v is None, str(v)) for v in row))
 
 
 QUERIES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
