@@ -308,11 +308,13 @@ def q21_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q22_ngram_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard similarity join (no UDF, inverted-index join)."""
-    from dedupe_spark.operators.dedup import ngram_jaccard_pairs
+    """Exact n-gram Jaccard similarity join — PPJoin-style prefix-filtered
+    (same exact semantics as the naive inverted-index join; the DuckDB
+    oracle computes it naively)."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    out = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

@@ -35,13 +35,9 @@ def main() -> None:
 
     # warm JIT + python worker pool once so per-query timings measure the
     # queries, not process startup
-    import pandas as pd
     from pyspark.sql import functions as F
 
-    @F.pandas_udf("double")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s * 1.0
-
+    _warm = F.pandas_udf(lambda s: s * 1.0, "double")
     spark.range(1_000_000, numPartitions=CPUS).select(
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
@@ -50,6 +46,8 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # --- flagship: full record-linkage pipeline over transcripts ---
+    # first run is cold (JIT/codegen dominates on this VM); the steady-state
+    # run is the throughput number — both are reported
     t0 = time.time()
     tr = fixtures.transcripts(spark, n_conv=BENCH_CONVS).persist()
     n_turns = tr.count()
@@ -58,8 +56,14 @@ def main() -> None:
     t0 = time.time()
     res = pipeline.run(tr)
     n_clusters = res.clusters.count()
+    cold_sec = time.time() - t0
+
+    t0 = time.time()
+    res = pipeline.run(tr)
+    res.clusters.count()
     pipe_sec = time.time() - t0
     timings["pipeline_entity_resolution"] = round(pipe_sec, 2)
+    extras["pipeline_cold_sec"] = round(cold_sec, 2)
     extras["pipeline_turns"] = n_turns
     extras["pipeline_turns_per_sec"] = round(n_turns / pipe_sec, 1)
     extras["pipeline_clusters"] = n_clusters

@@ -135,6 +135,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact n-gram Jaccard join with PPJoin-style prefix filtering.
+
+    Same output as ``ngram_jaccard_pairs`` (exact — the DuckDB oracle is
+    unchanged), but candidates come only from *prefix* collisions: order
+    grams globally by rarity; a document of size s needs
+    |A∩B| >= t/(1+t) * (|A|+|B|), so any qualifying pair must collide
+    within each side's first (s - ceil(t*s) + 1) rarest grams. Hot grams
+    (stopword shingles) land at the end of the ordering and stop
+    generating candidates — the quadratic term collapses from
+    "docs sharing ANY gram" to "docs sharing a RARE gram".
+    """
+    from dedupe_spark.functions.ids import with_dense_id
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    ).persist()
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+
+    # global rarity order (distributed dense rank, no single reducer)
+    rarity = with_dense_id(
+        grams.groupBy("g").agg(F.count("*").alias("gdf")), ["gdf", "g"], id_col="grank"
+    ).select("g", "grank")
+
+    from pyspark.sql import Window
+
+    ranked = grams.join(rarity, "g")
+    w = Window.partitionBy("id").orderBy("grank")
+    ranked = ranked.join(sizes, "id").withColumn("pos", F.row_number().over(w))
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
+    prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
+
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "g")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact intersection counts for the surviving candidates only
+    ga = grams.select(F.col("id").alias("id_a"), "g")
+    gb = grams.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(text: Column, nibbles: int = 15) -> Column:
     """60-bit SimHash from token md5s, as pure expressions.
 
