@@ -116,15 +116,19 @@ def q05_customers_without_orders(spark, sf_dir):
 
 def q06_gc_renumber(spark, sf_dir):
     """GC renumbering: survivors densely renumbered (reference
-    src/deduplication.cpp:344 running renumber, D5)."""
-    from pyspark.sql import Window
+    src/deduplication.cpp:344 running renumber, D5).
+
+    Routed through the distributed dense-id helper (range partition +
+    parallel windows + broadcast offsets) — identical output to a global
+    ``row_number`` window for unique keys, with no single-reducer sort.
+    """
+    from dedupe_spark.functions.ids import with_dense_id
 
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     survivors = p.join(li, p.p_partkey == li.l_partkey, "left_semi")
-    w = Window.orderBy("p_partkey")
-    return survivors.select(
-        "p_partkey", (F.row_number().over(w).cast("long") - 1).alias("new_id")
+    return with_dense_id(survivors, ["p_partkey"], id_col="new_id").select(
+        "p_partkey", "new_id"
     )
 
 
@@ -318,6 +322,26 @@ def q22_ngram_jaccard_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q21_fast_minhash_pairs(spark, sf_dir):
+    """Production MinHash path: xxhash64 shingles (JVM) + numpy Philox
+    permutations in a vectorized Arrow UDF (operators/minhash.py), bloom
+    pre-prune, salted candidate join — the pipeline's actual blocking
+    stage as a standalone query. No SQL oracle: the hash family is not
+    expressible in ANSI SQL; correctness is covered by property tests
+    (tests/test_minhash_fast.py: exact-dup guarantee, disjoint-doc
+    isolation, determinism) and the driver's rows-only check."""
+    from dedupe_spark.operators import blocking, minhash
+    from dedupe_spark.operators.dedup import normalize_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_expr(F.col("text")).alias("doc")
+    )
+    banded = minhash.with_minhash_bands(d, "doc", k=3, num_perm=128, bands=32)
+    blocks = blocking.explode_blocks(banded, "doc_id", "bands")
+    blocks = blocking.bloom_preprune(blocks, mode="bloom")
+    return blocking.candidate_pairs(blocks)
+
+
 def q23_simhash(spark, sf_dir):
     """SimHash document signatures (60-bit, expression-only)."""
     from dedupe_spark.operators.dedup import simhash64
@@ -388,6 +412,46 @@ def q28_cc_exact_clusters(spark, sf_dir):
     )
 
 
+def q32_sniff_media_type(spark, sf_dir):
+    """Magic-byte media sniffing (C5, reference FileType::get_file_type,
+    src/FileType.cpp:24-56) over deterministically synthesized binary
+    payloads: doc_id%4 selects a real magic prefix (PNG/JPEG/RIFF/none)
+    prepended to the utf-8 text bytes; the oracle builds the identical
+    BLOB and applies the same longest-prefix CASE."""
+    from dedupe_spark.operators.multimodal import sniff_media_type
+
+    d = _t(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(F.col("doc_id") % 4 == 1, F.unhex(F.lit("FFD8FF")))
+        .when(F.col("doc_id") % 4 == 2, F.unhex(F.lit("52494646")))
+        .otherwise(F.lit(b""))
+    )
+    payload = F.concat(magic, F.encode("text", "UTF-8"))
+    return d.select("doc_id", sniff_media_type(payload).alias("media_type"))
+
+
+def q33_aac_policy_keys(spark, sf_dir):
+    """chunk_aac policy dispatch (C4, src/deduplication.cpp:1350-1390):
+    'static' rows (source=src0 — the FSP analog) emit one exact
+    normalized-md5 key; 'dynamic' rows emit MinHash/LSH band keys (the
+    CDC analog). Uses the md5-string MinHash family so the whole
+    dispatch has an exact ANSI-SQL oracle."""
+    from dedupe_spark.operators.dedup import minhash_band_keys_sql, normalize_expr
+
+    d = _t(spark, sf_dir, "documents")
+    exact_keys = d.where(F.col("source") == "src0").select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("x:"), F.md5(normalize_expr(F.col("text")))).alias("band_key"),
+    )
+    lsh_keys = minhash_band_keys_sql(
+        d.where(F.col("source") != "src0"), "doc_id", "text", num_perm=12, rows_per_band=2
+    )
+    return exact_keys.unionAll(lsh_keys.select("id", "band_key")).select(
+        F.col("id").alias("doc_id"), "band_key"
+    )
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -404,13 +468,17 @@ def q30_cosine_topk(spark, sf_dir):
 
 
 def q31_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (>= 0.95)."""
+    """Embedding-cosine near-duplicate pairs — **banded**: sign-bucket
+    LSH (4 planes -> 16 buckets) turns all-pairs into a per-bucket
+    equi-join (no CartesianProduct in the plan); the oracle applies the
+    identical banding, so both engines compute the same bucket-local
+    pair set."""
     from dedupe_spark.operators.dedup import embedding_cosine_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.95).select(
-        "id_a", "id_b"
-    )
+    return embedding_cosine_pairs(
+        e, "vec_id", "embedding", threshold=0.4, block_planes=4
+    ).select("id_a", "id_b")
 
 
 # --------------------------------------------------------------------------
@@ -472,6 +540,44 @@ def q41_event_dedup(spark, sf_dir):
     )
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+def q44_streaming_dedup(spark, sf_dir):
+    """Structured Streaming dedup, run synchronously against the events
+    parquet as a file stream (availableNow) into a memory sink. Output
+    is the distinct key set (user_id, event_type, value_bucket) — the
+    deterministic projection of streaming ``dropDuplicates`` (which row
+    arrives first is arrival-order-dependent; the key set is not), so
+    the batch SQL oracle is exact."""
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; stage the (read-only)
+    # parquet into a temp dir
+    stage = tempfile.mkdtemp(prefix="q44_stream_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(stage)
+    keys = stream.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 10).cast("long").alias("value_bucket"),
+    ).dropDuplicates(["user_id", "event_type", "value_bucket"])
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q44_sink_{_STREAM_SINK_SEQ[0]}"
+    q = (
+        keys.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q42_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap session ids via lag + running sum."""
     from pyspark.sql import Window
@@ -496,16 +602,17 @@ def q42_sessionize(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: document near-dup clustering on sf0.001 — MinHash/LSH
-    blocking -> exact-Jaccard verification -> connected components."""
+    blocking first, exact-Jaccard verification computed **only on the
+    candidate pairs** (the reference's probe -> verify order,
+    src/deduplication.cpp:1405-1417), then connected components. The
+    quadratic gram self-join never runs."""
     from dedupe_spark.operators.clustering import clusters_with_singletons, connected_components
-    from dedupe_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from dedupe_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_on_pairs
 
     sf_dir = "/root/testdata/sf0.001"
     d = _t(spark, sf_dir, "documents")
     cands = minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, rows_per_band=2)
-    verified = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.6).join(
-        cands, ["id_a", "id_b"], "left_semi"
-    )
+    verified = ngram_jaccard_on_pairs(d, cands, "doc_id", "text", n=3, threshold=0.6)
     edges = verified.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     cc = connected_components(edges)
     return clusters_with_singletons(d.select(F.col("doc_id").alias("conv_id")), cc).select(
@@ -536,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_multiway_join": q19_multiway_join,
         "q20_exact_dedup_docs": q20_exact_dedup_docs,
         "q21_minhash_lsh_pairs": q21_minhash_lsh_pairs,
+        "q21_fast_minhash_pairs": q21_fast_minhash_pairs,
         "q22_ngram_jaccard_pairs": q22_ngram_jaccard_pairs,
         "q23_simhash": q23_simhash,
         "q24_doc_fingerprint": q24_doc_fingerprint,
@@ -545,10 +653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q30_cosine_topk": q30_cosine_topk,
         "q31_embedding_neardup": q31_embedding_neardup,
+        "q32_sniff_media_type": q32_sniff_media_type,
+        "q33_aac_policy_keys": q33_aac_policy_keys,
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
         "q43_json_extract": q43_json_extract,
+        "q44_streaming_dedup": q44_streaming_dedup,
     }
 
 
@@ -566,6 +677,32 @@ keys AS (
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def _aac_oracle_sql(num_perm: int = 12, r: int = 2) -> str:
+    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(num_perm)]
+    band_keys = [
+        f"'b{b}:' || md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + ")"
+        for b in range(num_perm // r)
+    ]
+    return f"""
+WITH norm AS (SELECT doc_id, source, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm WHERE source != 'src0'),
+tokidx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(array_length(toks) - 2, 1))) AS i
+    FROM tok
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+    FROM tokidx
+),
+mins AS (SELECT doc_id, {', '.join(perms)} FROM grams GROUP BY doc_id),
+keys AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM mins)
+SELECT doc_id, 'x:' || md5(t) AS band_key FROM norm WHERE source = 'src0'
+UNION ALL
+SELECT doc_id, band_key FROM keys
 """
 
 
@@ -691,9 +828,9 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 """,
         "q15_pivot_order_status": """
 SELECT c_mktsegment,
-       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
-       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS status_o,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS status_f,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS status_p
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 """,
@@ -731,7 +868,7 @@ GROUP BY n_name
 """,
         "q43_json_extract": """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
        count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
 FROM events GROUP BY event_type
 """,
@@ -825,10 +962,40 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM s) WHERE rank <= 5
 """,
         "q31_embedding_neardup": """
+WITH bkt AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[4] > 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""",
+        "q32_sniff_media_type": """
+WITH p AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 4 = 0 THEN from_hex('89504E470D0A1A0A')
+               WHEN doc_id % 4 = 1 THEN from_hex('FFD8FF')
+               WHEN doc_id % 4 = 2 THEN from_hex('52494646')
+               ELSE ''::BLOB END) || encode(text) AS payload
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN lower(hex(payload)) LIKE '89504e470d0a1a0a%' THEN 'image/png'
+            WHEN lower(hex(payload)) LIKE '1a45dfa3%' THEN 'video/webm'
+            WHEN lower(hex(payload)) LIKE '52494646%' THEN 'audio/wav'
+            WHEN lower(hex(payload)) LIKE '47494638%' THEN 'image/gif'
+            WHEN lower(hex(payload)) LIKE 'ffd8ff%' THEN 'image/jpeg'
+            WHEN lower(hex(payload)) LIKE '494433%' THEN 'audio/mp3'
+            ELSE 'application/octet-stream' END AS media_type
+FROM p
+""",
+        "q33_aac_policy_keys": _aac_oracle_sql(),
+        "q44_streaming_dedup": """
+SELECT DISTINCT user_id, event_type, floor(value * 10)::BIGINT AS value_bucket
+FROM events
 """,
         "q40_event_windows": """
 SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
@@ -842,8 +1009,8 @@ FROM events GROUP BY 1, 2, 3
 """,
         "q42_sessionize": """
 SELECT user_id, event_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
 FROM (
   SELECT user_id, event_id, ts,
          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

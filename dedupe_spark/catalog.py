@@ -121,3 +121,101 @@ class SnapshotCatalog:
 
     def exists(self, table: str) -> bool:
         return self.current_snapshot_id(table) > 0
+
+
+class IcebergCatalog:
+    """Iceberg-backed implementation of the same catalog interface.
+
+    On a cluster with the ``iceberg-spark-runtime`` jar and a catalog
+    configured (``spark.sql.catalog.<name>=org.apache.iceberg.spark.
+    SparkCatalog`` + warehouse), commits route to Iceberg's native
+    snapshot machinery: ``writeTo(...).createOrReplace()/append()`` is
+    the atomic metadata-pointer swap the reference performs with
+    tmp-file + rename (/root/reference/src/deduplication.cpp:639-640),
+    and the snapshots metadata table provides the same time travel the
+    parquet ``SnapshotCatalog`` emulates. ``pipeline.commit`` works
+    against either backend unchanged.
+
+    This sandbox has no Iceberg jar — gate construction on
+    ``IcebergCatalog.is_available(spark)`` (the contract test skips
+    when absent; see tests/test_catalog_contract.py).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str = "local", namespace: str = "dedupe"):
+        if not self.is_available(spark):
+            raise RuntimeError("iceberg-spark-runtime not on the classpath")
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    @staticmethod
+    def is_available(spark: SparkSession) -> bool:
+        try:
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+            return True
+        except Exception:
+            return False
+
+    def _qual(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    # -- commits -------------------------------------------------------
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        summary: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Snapshot-atomic commit; returns the new Iceberg snapshot id."""
+        writer = df.writeTo(self._qual(table))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif self.exists(table):
+            df.writeTo(self._qual(table)).append()
+        else:
+            writer.create()
+        return self.current_snapshot_id(table)
+
+    # -- reads ---------------------------------------------------------
+    def current_snapshot_id(self, table: str) -> int:
+        rows = self.snapshots(table)
+        return rows[-1]["snapshot_id"] if rows else 0
+
+    def read(self, table: str, snapshot_id: int | None = None) -> DataFrame:
+        if not self.exists(table):
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        if snapshot_id is not None:
+            return (
+                self.spark.read.format("iceberg")
+                .option("snapshot-id", snapshot_id)
+                .load(self._qual(table))
+            )
+        return self.spark.table(self._qual(table))
+
+    def snapshots(self, table: str) -> list[dict]:
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id, committed_at, operation, summary "
+                f"FROM {self._qual(table)}.snapshots ORDER BY committed_at"
+            ).collect()
+        except Exception:
+            return []
+        return [
+            {
+                "snapshot_id": r["snapshot_id"],
+                "committed_at": str(r["committed_at"]),
+                "mode": r["operation"],
+                "summary": dict(r["summary"] or {}),
+            }
+            for r in rows
+        ]
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qual(table))

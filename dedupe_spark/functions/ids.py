@@ -28,7 +28,11 @@ def with_dense_id(
     order_cols: list[str],
     id_col: str = "block_id",
     num_partitions: int | None = None,
+    deps: list[DataFrame] | None = None,
 ) -> DataFrame:
+    """``deps``: optional list the persisted intermediate is appended to,
+    so long-running callers can ``unpersist()`` it after their final
+    action (pipeline.PipelineResult.release does this)."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # persisted because both the count branch and the numbering branch read
@@ -39,6 +43,8 @@ def with_dense_id(
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if deps is not None:
+        deps.append(ranged)
     # running-sum offsets over the tiny per-partition count table
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

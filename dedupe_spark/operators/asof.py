@@ -38,9 +38,12 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, the latest right row with right_ts <= left_ts.
 
-    Left rows with no match are kept (null right columns).
+    Left rows with no match are kept (null right columns). Duplicate left
+    rows are preserved 1:1 — the dedup window partitions by a unique
+    surrogate row id, not by the left columns (byte-identical left rows
+    must not collapse; asof_join_pandas keeps them too).
     """
-    l = left.alias("l")
+    l = left.withColumn("_lrow", F.monotonically_increasing_id()).alias("l")
     r = right.alias("r")
     cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
         F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")
@@ -49,7 +52,7 @@ def asof_join(
     from pyspark.sql import Window
 
     # deterministic under ties: latest ts, then greatest value columns
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(
+    w = Window.partitionBy(F.col("l._lrow")).orderBy(
         F.col(f"r.{right_ts}").desc_nulls_last(),
         *[F.col(f"r.{c}").desc_nulls_last() for c in right_vals],
     )
@@ -115,32 +118,38 @@ def range_join_count(
 ) -> DataFrame:
     """(left_id, n_in_range): count of right rows with right_ts in
     [left_ts, left_ts + window) sharing ``key`` — bucketized so the theta
-    join becomes a bounded equi-join. ``left_id`` must be unique."""
+    join becomes a bounded equi-join. ``left_id`` must be unique.
+
+    All comparisons run in integer epoch milliseconds — no float
+    rounding at exact window boundaries (matches the DuckDB oracle's
+    ``epoch_ms`` arithmetic bit-for-bit)."""
     bucket_seconds = bucket_seconds or window_seconds
     n_buckets = window_seconds // bucket_seconds + 1
-    lsec = F.unix_millis(F.col(left_ts).cast("timestamp")) / 1000.0
-    rsec = F.unix_millis(F.col(right_ts).cast("timestamp")) / 1000.0
+    bucket_ms = bucket_seconds * 1000
+    window_ms = window_seconds * 1000
+    lms = F.unix_millis(F.col(left_ts).cast("timestamp"))
+    rms = F.unix_millis(F.col(right_ts).cast("timestamp"))
 
-    l = left.select(F.col(left_id).alias("_lid"), F.col(key).alias("_k"), lsec.alias("_lsec"))
+    l = left.select(F.col(left_id).alias("_lid"), F.col(key).alias("_k"), lms.alias("_lms"))
     l_exp = l.withColumn(
         "_bucket",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_buckets)),
-                lambda i: F.floor(F.col("_lsec") / bucket_seconds).cast("long") + i.cast("long"),
+                lambda i: F.floor(F.col("_lms") / bucket_ms).cast("long") + i.cast("long"),
             )
         ),
     )
     r = right.select(
         F.col(key).alias("_k"),
-        rsec.alias("_rsec"),
-        F.floor(rsec / bucket_seconds).cast("long").alias("_bucket"),
+        rms.alias("_rms"),
+        F.floor(rms / bucket_ms).cast("long").alias("_bucket"),
     )
     counts = (
         l_exp.join(r, ["_k", "_bucket"])
         .where(
-            (F.col("_rsec") >= F.col("_lsec"))
-            & (F.col("_rsec") < F.col("_lsec") + F.lit(float(window_seconds)))
+            (F.col("_rms") >= F.col("_lms"))
+            & (F.col("_rms") < F.col("_lms") + F.lit(window_ms))
         )
         .groupBy("_lid")
         .agg(F.count("*").alias("n_in_range"))

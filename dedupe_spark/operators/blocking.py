@@ -41,16 +41,30 @@ def explode_blocks(df: DataFrame, id_col: str, bands_col: str = "bands") -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("band_key"))
 
 
-def bloom_preprune(blocks: DataFrame) -> DataFrame:
+def bloom_preprune(
+    blocks: DataFrame,
+    mode: str = "semi",
+    fpp: float = 1e-4,
+    stats: dict | None = None,
+) -> DataFrame:
     """Drop rows whose band key appears exactly once — they cannot pair.
 
-    Implemented as a semi-join against the repeated-key set; with
+    Both modes are the reference's HashDB bloom negative-lookup
+    (/root/reference/src/HashDB.cpp:372, 429-431):
+
+    ``mode="semi"``: semi-join against the repeated-key set; with
     ``spark.sql.optimizer.runtime.bloomFilter.enabled=true`` Catalyst
-    physically executes this as a bloom-filter-pruned scan + shuffle,
-    which is the reference's HashDB bloom negative-lookup
-    (/root/reference/src/HashDB.cpp:372) done engine-side. The repeated
-    set is computed with a partial-aggregated groupBy (map-side combine),
-    so its cost is one light shuffle of distinct keys.
+    physically executes this as a bloom-filter-pruned scan + shuffle.
+
+    ``mode="bloom"``: the **explicit bloom pre-prune stage** — an
+    app-built Bloom filter over the repeated-key set
+    (functions/bloom.py), applied as a *map-side filter before any
+    shuffle of the block rows*. Exact for candidate generation: no
+    false negatives by construction, and a false-positive singleton key
+    still has one row, which produces no a<b pair downstream. Preferred
+    when singleton keys dominate (typical dedup corpora) because the
+    wide block table never enters an exchange; the only shuffle is the
+    distinct-key groupBy that defines the repeated set.
     """
     repeated = (
         blocks.groupBy("band_key")
@@ -58,7 +72,17 @@ def bloom_preprune(blocks: DataFrame) -> DataFrame:
         .where(F.col("df") >= 2)
         .select("band_key")
     )
-    return blocks.join(repeated, "band_key", "left_semi")
+    if mode == "semi":
+        return blocks.join(repeated, "band_key", "left_semi")
+    from dedupe_spark.functions.bloom import build_bloom
+
+    bloom = build_bloom(repeated, "band_key", fpp=fpp)
+    if stats is not None:
+        stats["bloom_num_bits"] = bloom.num_bits
+        stats["bloom_num_hash"] = bloom.num_hash
+        stats["bloom_repeated_keys"] = bloom.n_items
+        stats["bloom_fill_ratio"] = round(bloom.fill_ratio, 6)
+    return bloom.probe(blocks, "band_key")
 
 
 def block_frequencies(blocks: DataFrame) -> DataFrame:

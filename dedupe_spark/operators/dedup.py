@@ -135,8 +135,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def _jaccard_for_candidates(
+    grams: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for given candidate (id_a, id_b) pairs from an
+    exploded (id, g) gram table — the shared verification tail."""
+    ga = grams.select(F.col("id").alias("id_a"), "g")
+    gb = grams.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_on_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification restricted to candidate pairs.
+
+    This is the candidates-first ordering of the reference's probe →
+    verify flow (src/deduplication.cpp:1405-1417): the quadratic gram
+    join never runs — intersections are counted only for rows of
+    ``pairs`` (e.g. MinHash/LSH candidates), so the cost is
+    O(|pairs| * doc_size), not O(docs sharing any gram)^2.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    return _jaccard_for_candidates(grams, sizes, pairs.select("id_a", "id_b"), threshold)
+
+
 def ngram_jaccard_pairs_prefix(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6,
+    deps: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard join with PPJoin-style prefix filtering.
 
@@ -155,6 +205,8 @@ def ngram_jaccard_pairs_prefix(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
     ).persist()
+    if deps is not None:
+        deps.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
 
     # global rarity order (distributed dense rank, no single reducer)
@@ -179,24 +231,7 @@ def ngram_jaccard_pairs_prefix(
     )
 
     # exact intersection counts for the surviving candidates only
-    ga = grams.select(F.col("id").alias("id_a"), "g")
-    gb = grams.select(F.col("id").alias("id_b"), "g")
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_for_candidates(grams, sizes, cand, threshold)
 
 
 def simhash64(text: Column, nibbles: int = 15) -> Column:
@@ -239,10 +274,15 @@ def simhash64(text: Column, nibbles: int = 15) -> Column:
     return out
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 6, band_bits: int = 15) -> DataFrame:
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, band_bits: int = 15) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit hash into 4 x 15-bit
-    keys (pigeonhole: hamming<=3 guarantees a shared band at 4 bands),
-    join on band, verify hamming distance with bit_count."""
+    keys, join on band, verify hamming distance with bit_count.
+
+    Recall guarantee (pigeonhole at 4 bands): every pair at hamming <= 3
+    shares a band — so the default threshold matches the guarantee.
+    Callers may pass ``max_hamming`` in 4..6 for extra best-effort recall
+    (such pairs are found only when a band happens to collide).
+    """
     sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
     bands = sh.select(
         "id",
@@ -272,11 +312,20 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, block_planes: int = 0
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, block_planes: int = 4
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity, built-in exprs only:
-    zip_with dot product + aggregate norms. ``block_planes`` > 0 adds a
-    sign-pattern LSH bucket key to avoid the full cross join at scale."""
+    zip_with dot product + aggregate norms.
+
+    Default is **banded**: a deterministic sign-pattern LSH bucket key
+    (``block_planes`` bits) turns the all-pairs comparison into a
+    per-bucket equi-join — the scan shuffles on ``bucket`` and never
+    builds a CartesianProduct, so the plan survives at 100 TB. Recall is
+    bucket-local by construction (pairs straddling a sign boundary are
+    missed — raise recall by lowering ``block_planes`` or probing
+    neighboring buckets). ``block_planes=0`` requests the exact
+    all-pairs cross join; only for small, explicitly-bounded inputs.
+    """
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"))
     if block_planes > 0:
@@ -299,11 +348,13 @@ def embedding_cosine_pairs(
 
 
 def _sign_bucket(v: Column, planes: int) -> Column:
-    """Deterministic coarse LSH bucket: sign pattern of simple projections
-    (first elements + half-sum contrast) — no randomness, SQL-expressible."""
-    half = F.floor(F.size(v) / 2).cast("int")
-    front = F.aggregate(F.slice(v, 1, half), F.lit(0.0), lambda a, x: a + x)
-    back = F.aggregate(F.slice(v, half + 1, half), F.lit(0.0), lambda a, x: a + x)
-    feats = [F.element_at(v, i + 1) for i in range(max(0, planes - 1))] + [front - back]
-    bits = [F.when(f > 0, F.lit("1")).otherwise(F.lit("0")) for f in feats[:planes]]
+    """Deterministic coarse LSH bucket: sign pattern of the first
+    ``planes`` coordinates (axis-aligned hyperplanes). No randomness and
+    no float accumulation — each bit compares a *stored* value against
+    zero, so the same bucket is computed bit-for-bit by any engine
+    (the DuckDB oracle replicates it exactly)."""
+    bits = [
+        F.when(F.element_at(v, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(planes)
+    ]
     return F.concat(*bits)

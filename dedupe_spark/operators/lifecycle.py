@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from dedupe_spark.functions.ids import with_dense_id
 
 
-def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+def register_turns(
+    transcripts: DataFrame, deps: list[DataFrame] | None = None
+) -> tuple[DataFrame, DataFrame]:
     """register_block (src/deduplication.cpp:1393-1461) as two DataFrames.
 
     The reference walks records serially and assigns block ids in
@@ -36,8 +38,16 @@ def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     reconstruction invariant (`extract(insert(X)) == X`, per-turn text
     equality) hold exactly. Normalized fingerprints are a *linkage*
     concept and live in the blocking stages, not the storage registry.
+
+    NULL text is normalized to the empty string at this boundary: the
+    declared schema is non-null, but parquet reads don't enforce
+    StructField nullability, and a NULL fp would silently drop the row
+    from membership (breaking the reconstruct round-trip invariant).
+    Empty-string turns register and round-trip like any other.
     """
-    t = transcripts.withColumn("fp", F.md5("text"))
+    t = transcripts.withColumn("text", F.coalesce(F.col("text"), F.lit(""))).withColumn(
+        "fp", F.md5("text")
+    )
     canon = (
         t.groupBy("fp")
         .agg(
@@ -51,7 +61,7 @@ def register_turns(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
             "refcount",
         )
     )
-    unique_turns = with_dense_id(canon, ["fp"], id_col="block_id")
+    unique_turns = with_dense_id(canon, ["fp"], id_col="block_id", deps=deps)
     membership = (
         t.join(unique_turns.select("fp", "block_id"), "fp")
         .select("conv_id", "turn_idx", "role", "tool", "ts", "block_id")

@@ -34,7 +34,7 @@ def with_norm_and_fp(df: DataFrame, text_col: str = "text") -> DataFrame:
 def conversation_docs(df: DataFrame) -> DataFrame:
     """Collapse turns into one document row per conversation.
 
-    Output: (conv_id, doc, n_turns, doc_len). ``doc`` is the
+    Output: (conv_id, doc, n_turns, doc_len, tool_frac). ``doc`` is the
     normalized turn texts joined in stable (turn_idx) order — the
     stable-ordering invariant from BASELINE.json input_hint. The
     sort is per-group via array_sort on (turn_idx, norm) structs, not a
@@ -52,6 +52,11 @@ def conversation_docs(df: DataFrame) -> DataFrame:
                 " ",
             ).alias("doc"),
             F.count("*").alias("n_turns"),
+            # fraction of tool-role turns — drives the chunk_aac-style
+            # blocking-key policy (C4): tool output is machine-generated,
+            # so near-dup linkage keys are disabled for tool-dominated
+            # conversations (exact fingerprints still apply)
+            F.avg(F.when(F.col("role") == "tool", 1.0).otherwise(0.0)).alias("tool_frac"),
         )
         .withColumn("doc_len", F.length("doc"))
     )

@@ -1,41 +1,76 @@
-"""Vectorized pairwise verification — the generalized ``blocks_cmp``.
+"""Pairwise verification — the generalized ``blocks_cmp``, JVM-side.
 
 Reference analog: candidate verification is length-compare then memcmp
 (/root/reference/src/deduplication.cpp:1491,1510) — cheap predicate
 first, expensive second. Generalized to similarity per the north star:
 
-  1. JVM-side length-band filter (free, codegen'd)
-  2. token-shingle Jaccard (cheap, set ops in the Arrow batch)
-  3. Jaro-Winkler only on the ambiguous Jaccard band (expensive)
+  1. length-band filter (free, codegen'd)
+  2. token-shingle Jaccard: xxhash64 shingle arrays + ``array_intersect``
+     / ``array_union`` — whole-stage-codegen'd set ops, O(n+m) per pair
+  3. bounded Levenshtein ratio (``F.levenshtein`` with a distance
+     threshold) only on the ambiguous Jaccard band
 
-All Python crossings are Arrow-batched pandas UDFs (never row-at-a-time
-``F.udf``). Inside a batch the Jaccard stage uses hashed-token sets; the
-Jaro-Winkler stage runs only on rows that survive the gate.
+There is **zero Python in the scoring path** — every stage is a Spark
+built-in expression, so scoring stays inside WholeStageCodegen and scales
+with the executors. The pure-python ``jaro_winkler_py`` /
+``levenshtein_ratio_py`` below are reference implementations used by
+tests to validate the JVM expressions, never executed per-row in the
+pipeline.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # decision thresholds (tuned on the labeled fixture; see tests/test_pipeline_e2e.py).
 # Measured at N=300: negative pairs (hardneg/random) max out at shingle
 # Jaccard ~0.24 while true duplicates bottom out at ~0.46 — 0.40 splits
-# with ~2x margin on both sides; the [0.22, 0.40) band falls back to JW.
+# with ~2x margin on both sides; the [0.22, 0.40) band falls back to the
+# character-level Levenshtein ratio.
 JACCARD_ACCEPT = 0.40  # shingle Jaccard at/above this -> duplicate
-JACCARD_GATE = 0.22  # below this -> reject without computing JW
-JW_ACCEPT = 0.93  # in the ambiguous band, JW decides
+JACCARD_GATE = 0.22  # below this -> reject without the expensive stage
+LEV_ACCEPT = 0.75  # in the ambiguous band, Levenshtein ratio decides
 MIN_LEN_RATIO = 0.40  # length-band prefilter (blocks_cmp length check)
+LEV_PREFIX_CAP = 2000  # bound the O(n*m) DP: compare first N chars only
 
 
-def _shingle_set(text: str, k: int = 3) -> set:
-    toks = text.split(" ")
-    if len(toks) < k:
-        return {text}
-    return {hash(tuple(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+def shingle_array(doc: Column, k: int = 3) -> Column:
+    """Distinct xxhash64 token-k-shingle hashes — JVM exprs only.
+
+    Same shingle family the MinHash blocking stage hashes
+    (operators/minhash.py:shingle_hashes), deduplicated for set algebra.
+    """
+    from dedupe_spark.operators.minhash import shingle_hashes
+
+    return F.array_distinct(shingle_hashes(doc, k=k))
+
+
+def jaccard_expr(sh_a: Column, sh_b: Column) -> Column:
+    """|A∩B| / |A∪B| over hashed shingle arrays (codegen'd set ops)."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def lev_ratio_expr(doc_a: Column, doc_b: Column, prefix_cap: int = LEV_PREFIX_CAP) -> Column:
+    """1 - levenshtein/max_len over the first ``prefix_cap`` chars.
+
+    The distance threshold bounds the JVM DP to O(n * threshold) and the
+    prefix cap bounds n — the worst-case cost per pair is a constant,
+    which is what lets a skewed corpus widen the ambiguous band without
+    blowing up the stage. Distances beyond the threshold can't reach
+    LEV_ACCEPT anyway, so the early-exit (-1) maps to ratio 0.
+    """
+    a = F.substring(doc_a, 1, prefix_cap)
+    b = F.substring(doc_b, 1, prefix_cap)
+    max_len = F.greatest(F.length(a), F.length(b))
+    threshold = int(prefix_cap * (1.0 - LEV_ACCEPT)) + 1
+    dist = F.levenshtein(a, b, threshold)
+    return F.when(max_len == 0, F.lit(1.0)).when(dist < 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - dist.cast("double") / max_len.cast("double")
+    )
 
 
 def _jaro(s: str, t: str) -> float:
@@ -70,7 +105,7 @@ def _jaro(s: str, t: str) -> float:
 
 
 def jaro_winkler_py(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> float:
-    """Reference-quality Jaro-Winkler used inside the Arrow batch."""
+    """Reference Jaro-Winkler (test oracle only — not in the hot path)."""
     j = _jaro(s, t)
     if j <= 0.7:
         return j
@@ -83,7 +118,8 @@ def jaro_winkler_py(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> floa
 
 
 def levenshtein_ratio_py(s: str, t: str) -> float:
-    """Banded-free numpy DP Levenshtein similarity ratio (tests + short strings)."""
+    """Numpy DP Levenshtein similarity ratio — the test oracle for
+    ``lev_ratio_expr`` (validates the JVM expression's values)."""
     if s == t:
         return 1.0
     ls, lt = len(s), len(t)
@@ -106,74 +142,69 @@ def levenshtein_ratio_py(s: str, t: str) -> float:
     return 1.0 - dist / max(len(sa), len(ta))
 
 
-SCORE_SCHEMA = T.StructType(
-    [
-        T.StructField("jaccard", T.DoubleType(), False),
-        T.StructField("jw", T.DoubleType(), False),
-    ]
-)
-
-
-def make_score_udf(k: int = 3, jaccard_gate: float = JACCARD_GATE, jaccard_accept: float = JACCARD_ACCEPT):
-    """pandas UDF (doc_a, doc_b) -> struct(jaccard, jw).
-
-    JW is only computed in the ambiguous band [gate, accept); outside it
-    the Jaccard verdict stands and jw is reported as 0/1 sentinel-free
-    (-1.0 means "not computed").
-    """
-
-    @F.pandas_udf(SCORE_SCHEMA)
-    def score(doc_a: pd.Series, doc_b: pd.Series) -> pd.DataFrame:
-        a_sets = doc_a.map(lambda x: _shingle_set(x, k))
-        b_sets = doc_b.map(lambda x: _shingle_set(x, k))
-        inter = np.fromiter(
-            (len(a & b) for a, b in zip(a_sets, b_sets)), dtype=np.float64, count=len(a_sets)
-        )
-        union = np.fromiter(
-            (len(a | b) for a, b in zip(a_sets, b_sets)), dtype=np.float64, count=len(a_sets)
-        )
-        jac = np.divide(inter, union, out=np.zeros_like(inter), where=union > 0)
-        jw = np.full(len(jac), -1.0)
-        ambiguous = np.flatnonzero((jac >= jaccard_gate) & (jac < jaccard_accept))
-        for i in ambiguous:
-            jw[i] = jaro_winkler_py(doc_a.iat[i], doc_b.iat[i])
-        return pd.DataFrame({"jaccard": jac, "jw": jw})
-
-    return score
-
-
 def score_pairs(
     pairs: DataFrame,
     docs: DataFrame,
     id_col: str = "conv_id",
     doc_col: str = "doc",
     min_len_ratio: float = MIN_LEN_RATIO,
+    k: int = 3,
 ) -> DataFrame:
-    """Attach similarity scores to candidate pairs.
+    """Attach similarity scores to candidate pairs — all JVM expressions.
 
     pairs: (id_a, id_b); docs: (id_col, doc_col, doc_len).
-    Returns (id_a, id_b, jaccard, jw, is_dup).
+    Returns (id_a, id_b, jaccard, lev_ratio, is_dup); ``lev_ratio`` is
+    -1.0 outside the ambiguous band (not computed — the Jaccard verdict
+    stands, mirroring blocks_cmp's cheap-first ordering).
     """
+    # The shingle array is computed HERE, once per doc row, below the
+    # join: after the join it is a materialized attribute, so the (large)
+    # tokenize+shingle+hash expression tree is never inlined into the
+    # downstream jaccard/lev/is_dup expressions. Inlining it (projection
+    # collapse duplicates the tree per reference) blows the generated
+    # code up ~6x and was measured ~3x slower end-to-end.
     d = docs.select(
-        F.col(id_col).alias("_id"), F.col(doc_col).alias("_doc"), F.col("doc_len").alias("_len")
+        F.col(id_col).alias("_id"),
+        F.col(doc_col).alias("_doc"),
+        F.col("doc_len").alias("_len"),
+        shingle_array(F.col(doc_col), k).alias("_sh"),
     )
     joined = (
-        pairs.join(d.withColumnRenamed("_id", "id_a").withColumnRenamed("_doc", "doc_a").withColumnRenamed("_len", "len_a"), "id_a")
-        .join(d.withColumnRenamed("_id", "id_b").withColumnRenamed("_doc", "doc_b").withColumnRenamed("_len", "len_b"), "id_b")
+        pairs.join(
+            d.select(
+                F.col("_id").alias("id_a"), F.col("_doc").alias("doc_a"),
+                F.col("_len").alias("len_a"), F.col("_sh").alias("sh_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            d.select(
+                F.col("_id").alias("id_b"), F.col("_doc").alias("doc_b"),
+                F.col("_len").alias("len_b"), F.col("_sh").alias("sh_b"),
+            ),
+            "id_b",
+        )
     )
     # cheap predicate first — the blocks_cmp length check, JVM-side
     banded = joined.where(
         F.least("len_a", "len_b") >= (F.greatest("len_a", "len_b") * F.lit(min_len_ratio))
     )
-    score = make_score_udf()
-    scored = banded.withColumn("s", score("doc_a", "doc_b")).select(
+    scored = banded.withColumn(
+        "jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b"))
+    ).withColumn(
+        "lev_ratio",
+        F.when(
+            (F.col("jaccard") >= F.lit(JACCARD_GATE)) & (F.col("jaccard") < F.lit(JACCARD_ACCEPT)),
+            lev_ratio_expr(F.col("doc_a"), F.col("doc_b")),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return scored.select(
         "id_a",
         "id_b",
-        F.col("s.jaccard").alias("jaccard"),
-        F.col("s.jw").alias("jw"),
-    )
-    return scored.withColumn(
-        "is_dup",
-        (F.col("jaccard") >= JACCARD_ACCEPT)
-        | ((F.col("jaccard") >= JACCARD_GATE) & (F.col("jw") >= JW_ACCEPT)),
+        "jaccard",
+        "lev_ratio",
+        (
+            (F.col("jaccard") >= JACCARD_ACCEPT)
+            | ((F.col("jaccard") >= JACCARD_GATE) & (F.col("lev_ratio") >= LEV_ACCEPT))
+        ).alias("is_dup"),
     )

@@ -36,6 +36,15 @@ class PipelineConfig:
     salt_threshold: int = blocking.DEFAULT_SALT_THRESHOLD
     salt_groups: int = blocking.DEFAULT_SALT_GROUPS
     min_len_ratio: float = scoring.MIN_LEN_RATIO
+    # "bloom" = explicit map-side Bloom pre-prune (functions/bloom.py);
+    # "semi" = semi-join + Catalyst runtime bloom filter
+    bloom_mode: str = "bloom"
+    # chunk_aac-style blocking-key policy (C4, reference
+    # src/deduplication.cpp:1350-1390): conversations dominated by
+    # tool-role turns (machine output) get exact-fp keys only — the
+    # MinHash signature is never computed for them
+    aac_policy: bool = True
+    aac_exact_tool_frac: float = 0.6
     checkpoint_dir: str | None = None
     resume: bool = False
     # metrics cost ~6 extra jobs (counts); opt in when publishing a run
@@ -53,6 +62,16 @@ class PipelineResult:
     unique_turns: DataFrame
     membership: DataFrame
     metrics: DataFrame
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every intermediate this run cached. Call after the
+        final action on the result DataFrames — repeated pipeline runs in
+        one session (bench, notebooks) otherwise accumulate cached tables
+        in executor memory."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 def run(
@@ -62,25 +81,43 @@ def run(
 ) -> PipelineResult:
     cfg = config or PipelineConfig()
     spark = transcripts.sparkSession
+    persisted: list[DataFrame] = []
 
     # 1. turn-level registry (exact dedup of turns, the reference's core)
-    unique_turns, membership = lifecycle.register_turns(transcripts)
+    unique_turns, membership = lifecycle.register_turns(transcripts, deps=persisted)
 
     # 2. conversation documents in stable (conv_id, turn_idx) order
     docs = normalize.conversation_docs(transcripts)
     docs = docs.withColumn("exact_fp", F.md5("doc"))
-    docs = minhash.with_minhash_bands(
-        docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed
-    )
+    if cfg.aac_policy:
+        # C4 dispatch: tool-dominated conversations skip the signature
+        # UDF entirely (empty band set -> exact-fp edges only); the
+        # identical agg subtrees under both filters collapse via
+        # Catalyst's ReuseExchange, so this costs no extra shuffle
+        is_exact_only = F.col("tool_frac") >= F.lit(cfg.aac_exact_tool_frac)
+        dyn = minhash.with_minhash_bands(
+            docs.where(~is_exact_only),
+            "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed,
+        )
+        stat = docs.where(is_exact_only).withColumn(
+            "bands", F.array().cast("array<string>")
+        )
+        docs = dyn.unionByName(stat)
+    else:
+        docs = minhash.with_minhash_bands(
+            docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed
+        )
     # the doc table is reused by blocking AND scoring — cache it once
     docs = docs.persist()
+    persisted.append(docs)
 
     # 3. exact-duplicate edges: linear-size first-writer-wins links
     exact_edges = blocking.exact_key_pairs(docs, "conv_id", "exact_fp")
 
     # 4. LSH candidate pairs: explode bands -> bloom prune -> salted join
     blocks = blocking.explode_blocks(docs, "conv_id", "bands")
-    blocks = blocking.bloom_preprune(blocks)
+    bloom_stats: dict = {}
+    blocks = blocking.bloom_preprune(blocks, mode=cfg.bloom_mode, stats=bloom_stats)
     cands = blocking.candidate_pairs(
         blocks,
         max_block=cfg.max_block,
@@ -112,7 +149,7 @@ def run(
     clusters = clustering.clusters_with_singletons(docs.select("conv_id"), cc)
 
     if cfg.compute_metrics or catalog is not None:
-        metrics = _metrics(docs, blocks, cands, scored, clusters)
+        metrics = _metrics(docs, blocks, cands, scored, clusters, bloom_stats)
     else:
         metrics = spark.createDataFrame([], "metric string, value double")
 
@@ -125,17 +162,19 @@ def run(
         unique_turns=unique_turns,
         membership=membership,
         metrics=metrics,
+        persisted=persisted,
     )
     if catalog is not None:
         commit(result, catalog)
     return result
 
 
-def _metrics(docs, blocks, cands, scored, clusters) -> DataFrame:
+def _metrics(docs, blocks, cands, scored, clusters, bloom_stats=None) -> DataFrame:
     spark = docs.sparkSession
     rows = [
         ("n_conversations", float(docs.count())),
         ("n_block_rows_after_prune", float(blocks.count())),
+        *[(k, float(v)) for k, v in (bloom_stats or {}).items()],
         ("n_candidate_pairs", float(cands.count())),
         ("n_scored_pairs", float(scored.count())),
         ("n_duplicate_pairs", float(scored.where("is_dup").count())),

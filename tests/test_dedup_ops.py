@@ -71,7 +71,14 @@ def test_embedding_cosine_pairs(spark):
         (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    got = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).collect()}
+    # block_planes=0: exact all-pairs path (these axis-aligned vectors sit
+    # on sign boundaries, which the banded default intentionally splits)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(
+            df, "vec_id", "embedding", threshold=0.95, block_planes=0
+        ).collect()
+    }
     assert got == {(1, 2)}
 
 

@@ -51,7 +51,7 @@ def test_score_pairs_end_to_end(spark):
     assert ("a", "e") not in got  # length-band prefilter removed it
 
 
-def test_jw_only_computed_in_ambiguous_band(spark):
+def test_lev_only_computed_in_ambiguous_band(spark):
     docs = spark.createDataFrame(
         [
             ("a", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -61,7 +61,32 @@ def test_jw_only_computed_in_ambiguous_band(spark):
         "conv_id string, doc string",
     ).withColumn("doc_len", F.length("doc"))
     pairs = spark.createDataFrame([("a", "b"), ("a", "d")], "id_a string, id_b string")
-    rows = {(r["id_a"], r["id_b"]): r["jw"] for r in score_pairs(pairs, docs).collect()}
-    # identical pair: jaccard >= accept -> jw sentinel -1 (not computed)
+    rows = {(r["id_a"], r["id_b"]): r["lev_ratio"] for r in score_pairs(pairs, docs).collect()}
+    # identical pair: jaccard >= accept -> lev sentinel -1 (not computed)
     assert rows[("a", "b")] == -1.0
     assert rows[("a", "d")] == -1.0  # below gate -> also skipped
+
+
+def test_lev_ratio_expr_matches_python_oracle(spark):
+    from dedupe_spark.operators.scoring import lev_ratio_expr, levenshtein_ratio_py
+
+    cases = [
+        ("kitten", "sitting"),
+        ("the quick brown fox", "the quack brawn fox"),
+        ("same text either side", "same text either side"),
+        ("", "nonempty"),
+        ("abcdef", "xyzuvw"),
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    got = {
+        (r["a"], r["b"]): r["lr"]
+        for r in df.select("a", "b", lev_ratio_expr(F.col("a"), F.col("b")).alias("lr")).collect()
+    }
+    for a, b in cases:
+        expected = levenshtein_ratio_py(a, b)
+        # the JVM expr floors sub-threshold ratios to 0 (early-exit), so
+        # compare exactly only when the oracle is above the cutoff
+        if expected >= 0.75:
+            assert got[(a, b)] == pytest.approx(expected)
+        else:
+            assert got[(a, b)] < 0.75
