@@ -337,9 +337,12 @@ def q21_fast_minhash_pairs(spark, sf_dir):
         "doc_id", normalize_expr(F.col("text")).alias("doc")
     )
     banded = minhash.with_minhash_bands(d, "doc", k=3, num_perm=128, bands=32)
-    blocks = blocking.explode_blocks(banded, "doc_id", "bands")
-    blocks = blocking.bloom_preprune(blocks, mode="bloom")
-    return blocking.candidate_pairs(blocks)
+    # persisted: the bloom build (2 eager jobs), the probe, and the
+    # salted join's frequency/self-join branches all read the exploded
+    # block table — without the cache the signature UDF re-runs per branch
+    blocks = blocking.explode_blocks(banded, "doc_id", "bands").persist()
+    pruned = blocking.bloom_preprune(blocks, mode="bloom")
+    return blocking.candidate_pairs(pruned)
 
 
 def q23_simhash(spark, sf_dir):

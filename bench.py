@@ -92,12 +92,23 @@ def main() -> None:
         "q40_event_windows",
         "q42_sessionize",
     ]
+    # Each query runs twice with a cache clear in between, so BOTH runs
+    # compute the full plan; the first pays JVM codegen/JIT (tens of
+    # seconds for the lambda-heavy operators on this CPU), the second is
+    # steady state. Reported timing = min (robust to hypervisor-steal
+    # stalls); cold time is kept in extras.
     qs = entrymod.queries()
     for name in bench_queries:
         t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 2)
+        n = qs[name](spark, SF_DIR).count()
+        cold = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        warm = time.time() - t0
+        spark.catalog.clearCache()
+        timings[name] = round(min(cold, warm), 2)
+        extras[f"{name}_cold_sec"] = round(cold, 2)
         extras[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 2)

@@ -45,9 +45,17 @@ def with_dense_id(
     )
     if deps is not None:
         deps.append(ranged)
-    # running-sum offsets over the tiny per-partition count table
+    # running-sum offsets over the tiny per-partition count table.
+    # partitionBy(lit(0)) routes the O(num_partitions) rows through one
+    # deliberate partition WITHOUT tripping WindowExec's "no partition
+    # defined" warning — the table is bounded by the partition count, so
+    # a single reducer here is by design, not an accident.
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_offset")
     )

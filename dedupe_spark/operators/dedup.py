@@ -198,9 +198,13 @@ def ngram_jaccard_pairs_prefix(
     (stopword shingles) land at the end of the ordering and stop
     generating candidates — the quadratic term collapses from
     "docs sharing ANY gram" to "docs sharing a RARE gram".
-    """
-    from dedupe_spark.functions.ids import with_dense_id
 
+    Exactness needs only a *consistent global total order* on grams (any
+    qualifying pair shares a prefix gram under any common order), so the
+    order is the tuple (document frequency, gram) used directly in the
+    per-doc window — no materialized global rank stage, which saves a
+    range-exchange + broadcast join per call.
+    """
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
@@ -209,15 +213,13 @@ def ngram_jaccard_pairs_prefix(
         deps.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
 
-    # global rarity order (distributed dense rank, no single reducer)
-    rarity = with_dense_id(
-        grams.groupBy("g").agg(F.count("*").alias("gdf")), ["gdf", "g"], id_col="grank"
-    ).select("g", "grank")
+    # global rarity order: (gdf, g) — computed per gram, joined back
+    rarity = grams.groupBy("g").agg(F.count("*").alias("gdf"))
 
     from pyspark.sql import Window
 
     ranked = grams.join(rarity, "g")
-    w = Window.partitionBy("id").orderBy("grank")
+    w = Window.partitionBy("id").orderBy("gdf", "g")
     ranked = ranked.join(sizes, "id").withColumn("pos", F.row_number().over(w))
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
     prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
