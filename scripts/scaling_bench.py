@@ -33,8 +33,11 @@ spark = build_session(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=max(cpus, 8))
 tr = fixtures.transcripts(spark, n_conv=n_conv).persist()
 n_turns = tr.count()
-# warm the python workers + JIT once so the measured runs are steady-state
-pipeline.run(tr).clusters.count()
+# warm the python workers + JIT once so the measured runs are steady-state;
+# release() after every run so no run replays a predecessor's caches
+warm = pipeline.run(tr)
+warm.clusters.count()
+warm.release()
 import os
 repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 best = None
@@ -43,6 +46,7 @@ for _ in range(repeats):  # best-of-N: this sandbox VM has noisy neighbors
     res = pipeline.run(tr)
     res.clusters.count()
     sec = time.time() - t0
+    res.release()
     best = sec if best is None or sec < best else best
 print(json.dumps({{"cpus": cpus, "n_turns": n_turns, "sec": round(best, 2),
                    "turns_per_sec": round(n_turns / best, 1)}}))
