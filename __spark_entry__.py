@@ -276,6 +276,22 @@ def q17_asof_join(spark, sf_dir):
     return out.select("o_orderkey", F.col("asof_event_id").alias("last_event_id"))
 
 
+def q17b_asof_join_pandas(spark, sf_dir):
+    """As-of join, cogroup + pd.merge_asof scale path (applyInPandas;
+    sorted O(n+m) merge per key group) — same semantics as q17's
+    composed built-in variant, checked against the same SQL oracle."""
+    from dedupe_spark.operators.asof import asof_join_pandas
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = asof_join_pandas(
+        o, e, key="user_id", left_ts="o_orderdate", right_ts="ts", right_vals=["event_id"]
+    )
+    return out.select("o_orderkey", F.col("asof_event_id").alias("last_event_id"))
+
+
 def q18_range_join(spark, sf_dir):
     """Bounded range join via time bucketization."""
     from dedupe_spark.operators.asof import range_join_count
@@ -470,6 +486,20 @@ def q30_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q35_bucketed_ann_topk(spark, sf_dir):
+    """IVF-style bucketed approximate top-k: probe only the query's
+    deterministic sign bucket (the scale path of q30 — at 100 TB the
+    bucket is a partition column and pruning does the rest). The oracle
+    applies the identical bucketing, so the approximate result set is
+    compared exactly."""
+    from dedupe_spark.operators.similarity import bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = bucketed_topk(e, q, k=5, planes=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q31_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — **banded**: sign-bucket
     LSH (4 planes -> 16 buckets) turns all-pairs into a per-bucket
@@ -581,6 +611,45 @@ def q44_streaming_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q45_streaming_event_windows(spark, sf_dir):
+    """Streaming windowed aggregation (5-minute tumbling windows over a
+    file stream, complete-mode memory sink) — the streaming twin of q40,
+    checked against the identical batch SQL oracle. Spark's window()
+    aligns to the epoch, so floor(epoch_ms/300000)*300000 equals the
+    window start in both engines."""
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="q45_stream_")
+    shutil.copy(path, f"{stage}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(stage)
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    name = f"q45_sink_{_STREAM_SINK_SEQ[0]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q42_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap session ids via lag + running sum."""
     from pyspark.sql import Window
@@ -642,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_pivot_order_status": q15_pivot_order_status,
         "q16_cube_counts": q16_cube_counts,
         "q17_asof_join": q17_asof_join,
+        "q17b_asof_join_pandas": q17b_asof_join_pandas,
         "q18_range_join": q18_range_join,
         "q19_multiway_join": q19_multiway_join,
         "q20_exact_dedup_docs": q20_exact_dedup_docs,
@@ -658,11 +728,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_sniff_media_type": q32_sniff_media_type,
         "q33_aac_policy_keys": q33_aac_policy_keys,
+        "q35_bucketed_ann_topk": q35_bucketed_ann_topk,
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
         "q43_json_extract": q43_json_extract,
         "q44_streaming_dedup": q44_streaming_dedup,
+        "q45_streaming_event_windows": q45_streaming_event_windows,
     }
 
 
@@ -853,6 +925,16 @@ SELECT o_orderkey, last_event_id FROM (
     ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
 ) WHERE rn = 1
 """,
+        "q17b_asof_join_pandas": """
+SELECT o_orderkey, last_event_id FROM (
+  SELECT o.o_orderkey,
+         e.event_id AS last_event_id,
+         row_number() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM orders o LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+) WHERE rn = 1
+""",
         "q18_range_join": """
 SELECT o.o_orderkey, count(e.user_id) AS n_in_range
 FROM orders o LEFT JOIN events e
@@ -964,6 +1046,26 @@ SELECT query_id, neighbor_id, rank FROM (
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM s) WHERE rank <= 5
 """,
+        "q35_bucketed_ann_topk": """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+s AS (
+    SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(b.embedding, q.qv) AS cosine
+    FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+""",
         "q31_embedding_neardup": """
 WITH bkt AS (
   SELECT vec_id, embedding,
@@ -999,6 +1101,11 @@ FROM p
         "q44_streaming_dedup": """
 SELECT DISTINCT user_id, event_type, floor(value * 10)::BIGINT AS value_bucket
 FROM events
+""",
+        "q45_streaming_event_windows": """
+SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "q40_event_windows": """
 SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,

@@ -82,13 +82,20 @@ class Bloom:
 
         return might_contain
 
-    def probe(self, df: DataFrame, key: Column | str) -> DataFrame:
-        """Rows of ``df`` whose key might be in the filter — a map-side
-        filter (scan -> project -> Arrow batch -> filter), no shuffle."""
+    def flag(self, df: DataFrame, key: Column | str, col_name: str) -> DataFrame:
+        """``df`` plus a boolean ``col_name``: might the key be in the
+        filter? Map-side, no shuffle; lets callers split the definite
+        negatives from the maybe-positives in one pass (the reference's
+        negative-lookup short-circuit, HashDB.cpp:429-431)."""
         key = F.col(key) if isinstance(key, str) else key
         udf = self.might_contain_udf(df.sparkSession)
         pos = F.array(*_positions(key, self.num_bits, self.num_hash))
-        return df.where(udf(pos))
+        return df.withColumn(col_name, udf(pos))
+
+    def probe(self, df: DataFrame, key: Column | str) -> DataFrame:
+        """Rows of ``df`` whose key might be in the filter — a map-side
+        filter (scan -> project -> Arrow batch -> filter), no shuffle."""
+        return self.flag(df, key, "_bf_hit").where("_bf_hit").drop("_bf_hit")
 
     # -- set algebra (reference BloomFilter.cpp:161-198) ---------------
     def _check_shape(self, other: "Bloom") -> None:

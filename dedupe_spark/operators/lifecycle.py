@@ -69,6 +69,77 @@ def register_turns(
     return unique_turns.drop("refcount"), membership
 
 
+def register_turns_incremental(
+    new_transcripts: DataFrame,
+    unique_turns: DataFrame,
+    membership: DataFrame,
+    fpp: float = 1e-4,
+    deps: list[DataFrame] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental ingest against an EXISTING registry — the reference's
+    ``prepare_insert`` + ``register_block`` probe flow
+    (src/deduplication.cpp:658-792, 1393-1461) with the HashDB bloom
+    negative lookup (src/HashDB.cpp:429-431) done app-side:
+
+      1. a Bloom filter over the existing registry's fingerprints splits
+         incoming turns map-side: **definite-new turns never join against
+         the registry at all** (the common case for fresh data), only the
+         maybe-known sliver (true hits + fpp false positives) probes it;
+      2. genuinely new fingerprints get dense block ids continuing after
+         the registry's current maximum — existing ids are never renumbered
+         (incremental stability: readers of old snapshots stay valid);
+      3. membership rows for the new batch append against the merged
+         registry.
+
+    Returns (unique_turns', membership') — the merged tables.
+    """
+    from dedupe_spark.functions.bloom import build_bloom
+
+    t = new_transcripts.withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    ).withColumn("fp", F.md5("text"))
+
+    bloom = build_bloom(unique_turns.select("fp"), "fp", fpp=fpp)
+    flagged = t.select("fp").distinct()
+    flagged = bloom.flag(flagged, "fp", "_maybe")
+    probed = (
+        flagged.where("_maybe")
+        .join(unique_turns.select("fp", "block_id"), "fp", "left")
+    )
+    # bloom false positives fall through to the new-fp set
+    new_fps = flagged.where(~F.col("_maybe")).select("fp").unionByName(
+        probed.where(F.col("block_id").isNull()).select("fp")
+    )
+
+    canon = (
+        t.join(new_fps, "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.min(F.struct("conv_id", "turn_idx", "text")).alias("first"))
+        .select(
+            "fp",
+            F.col("first.text").alias("text"),
+            F.length("first.text").cast("int").alias("len"),
+        )
+    )
+    base = unique_turns.agg(
+        F.coalesce(F.max("block_id"), F.lit(-1).cast("long")).alias("_base")
+    )
+    new_unique = (
+        with_dense_id(canon, ["fp"], id_col="_nid", deps=deps)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "fp", "text", "len", (F.col("_nid") + F.col("_base") + 1).alias("block_id")
+        )
+    )
+    merged_unique = unique_turns.select("fp", "text", "len", "block_id").unionByName(
+        new_unique
+    )
+    new_membership = t.join(merged_unique.select("fp", "block_id"), "fp").select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "block_id"
+    )
+    return merged_unique, membership.unionByName(new_membership)
+
+
 def reconstruct(membership: DataFrame, unique_turns: DataFrame) -> DataFrame:
     """extract_file (src/deduplication.cpp:1602-1726): join the id list
     back to block payloads in stable (conv_id, turn_idx) order. With

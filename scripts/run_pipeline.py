@@ -30,14 +30,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path with transcript schema")
+    ap.add_argument("--input-dir", help="recursive directory tree of transcript parquet (S2)")
     ap.add_argument("--fixture-convs", type=int, help="generate the synthetic fixture instead")
     ap.add_argument("--output", required=True, help="warehouse directory for result tables")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument("--bloom-mode", default="bloom", choices=["bloom", "semi"],
+                    help="explicit map-side bloom pre-prune vs semi-join + runtime filter")
+    ap.add_argument("--no-aac", action="store_true",
+                    help="disable the tool-role-aware blocking-key policy (C4)")
+    ap.add_argument("--catalog", default="snapshot", choices=["snapshot", "iceberg"],
+                    help="iceberg requires the runtime jar + catalog conf")
     args = ap.parse_args()
 
-    from dedupe_spark.catalog import SnapshotCatalog
+    from dedupe_spark.catalog import IcebergCatalog, SnapshotCatalog
     from dedupe_spark.pipeline import PipelineConfig, run
     from dedupe_spark.session import build_session
 
@@ -51,11 +58,23 @@ def main() -> None:
         from dedupe_spark import schemas
 
         transcripts = spark.read.schema(schemas.TRANSCRIPTS).parquet(args.input)
-    else:
-        ap.error("one of --input / --fixture-convs is required")
+    elif args.input_dir:
+        from dedupe_spark.sources.files import read_transcript_dir
 
-    catalog = SnapshotCatalog(spark, args.output)
-    cfg = PipelineConfig(checkpoint_dir=args.checkpoint_dir, resume=args.resume)
+        transcripts = read_transcript_dir(spark, args.input_dir)
+    else:
+        ap.error("one of --input / --input-dir / --fixture-convs is required")
+
+    if args.catalog == "iceberg":
+        catalog = IcebergCatalog(spark)
+    else:
+        catalog = SnapshotCatalog(spark, args.output)
+    cfg = PipelineConfig(
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        bloom_mode=args.bloom_mode,
+        aac_policy=not args.no_aac,
+    )
 
     t0 = time.time()
     result = run(transcripts, cfg, catalog=catalog)
