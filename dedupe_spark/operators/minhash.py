@@ -98,20 +98,27 @@ def make_minhash_udf(num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED)
 def band_keys(sig: Column | str, bands: int = DEFAULT_BANDS, num_perm: int = DEFAULT_NUM_PERM) -> Column:
     """array<string> LSH band keys from a signature — JVM-side.
 
-    Key = "b<i>:" + xxhash64 of the band's rows, so keys from different
-    bands never collide (the reference's per-bucket discrimination,
-    /root/reference/src/HashDB.cpp:355-368).
+    Key = "b<i>:" + xxhash64 over the band's r signature longs plus the
+    band index, so keys from different bands never collide (the
+    reference's per-bucket discrimination,
+    /root/reference/src/HashDB.cpp:355-368). Hashing the longs directly
+    (multi-column xxhash64 + element_at) keeps the whole expression in
+    codegen — the earlier slice/transform/concat_ws form was an
+    interpreted higher-order-function tree and measured several times
+    slower at 5k docs x 32 bands.
     """
     c = F.col(sig) if isinstance(sig, str) else sig
     r = num_perm // bands
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.concat(
-            F.lit("b"),
-            i.cast("string"),
-            F.lit(":"),
-            F.xxhash64(F.concat_ws(",", F.transform(F.slice(c, i * r + 1, r), lambda x: x.cast("string")))).cast("string"),
-        ),
+    return F.array(
+        *[
+            F.concat(
+                F.lit(f"b{i}:"),
+                F.xxhash64(
+                    *[F.element_at(c, i * r + j + 1) for j in range(r)], F.lit(i)
+                ).cast("string"),
+            )
+            for i in range(bands)
+        ]
     )
 
 
