@@ -20,6 +20,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Caches (persisted DataFrames, bloom bitmap broadcasts) created by the
+# previous queries() invocation. A query callable returns a lazy
+# DataFrame, so it cannot unpersist its own intermediates — instead each
+# cache-using query drains the leftovers of the PREVIOUS one (the driver
+# and bench run queries sequentially, so the prior query's action has
+# completed by then). Long-lived sessions no longer accumulate storage.
+_QUERY_DEPS: list = []
+
+
+def release_query_caches() -> None:
+    """Unpersist everything registered by earlier query invocations."""
+    while _QUERY_DEPS:
+        _QUERY_DEPS.pop().unpersist()
+
+
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect, matching dedupe_spark expressions)
 # --------------------------------------------------------------------------
@@ -333,8 +348,9 @@ def q22_ngram_jaccard_pairs(spark, sf_dir):
     oracle computes it naively)."""
     from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
+    release_query_caches()
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+    out = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5, deps=_QUERY_DEPS)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -349,6 +365,7 @@ def q21_fast_minhash_pairs(spark, sf_dir):
     from dedupe_spark.operators import blocking, minhash
     from dedupe_spark.operators.dedup import normalize_expr
 
+    release_query_caches()
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", normalize_expr(F.col("text")).alias("doc")
     )
@@ -357,7 +374,8 @@ def q21_fast_minhash_pairs(spark, sf_dir):
     # salted join's frequency/self-join branches all read the exploded
     # block table — without the cache the signature UDF re-runs per branch
     blocks = blocking.explode_blocks(banded, "doc_id", "bands").persist()
-    pruned = blocking.bloom_preprune(blocks, mode="bloom")
+    _QUERY_DEPS.append(blocks)
+    pruned = blocking.bloom_preprune(blocks, mode="bloom", deps=_QUERY_DEPS)
     return blocking.candidate_pairs(pruned)
 
 
@@ -500,6 +518,20 @@ def q35_bucketed_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q35b_ann_multiprobe(spark, sf_dir):
+    """Multi-probe bucketed ANN: each query probes its sign bucket plus
+    every Hamming-1 neighbor bucket (recall lift for boundary queries at
+    a 1 -> 1+planes probe-cost multiplier). The oracle enumerates the
+    identical probe list, so the approximate result set is compared
+    exactly."""
+    from dedupe_spark.operators.similarity import bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    out = bucketed_topk(e, q, k=5, planes=3, multiprobe=True)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q31_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs — **banded**: sign-bucket
     LSH (4 planes -> 16 buckets) turns all-pairs into a per-bucket
@@ -591,24 +623,28 @@ def q44_streaming_dedup(spark, sf_dir):
     # the file stream source requires a directory; stage the (read-only)
     # parquet into a temp dir
     stage = tempfile.mkdtemp(prefix="q44_stream_")
-    shutil.copy(path, f"{stage}/events.parquet")
-    stream = spark.readStream.schema(schema).parquet(stage)
-    keys = stream.select(
-        "user_id",
-        "event_type",
-        F.floor(F.col("value") * 10).cast("long").alias("value_bucket"),
-    ).dropDuplicates(["user_id", "event_type", "value_bucket"])
-    _STREAM_SINK_SEQ[0] += 1
-    name = f"q44_sink_{_STREAM_SINK_SEQ[0]}"
-    q = (
-        keys.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    try:
+        shutil.copy(path, f"{stage}/events.parquet")
+        stream = spark.readStream.schema(schema).parquet(stage)
+        keys = stream.select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 10).cast("long").alias("value_bucket"),
+        ).dropDuplicates(["user_id", "event_type", "value_bucket"])
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"q44_sink_{_STREAM_SINK_SEQ[0]}"
+        q = (
+            keys.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # the memory sink holds the rows; the staged input can go now
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def q45_streaming_event_windows(spark, sf_dir):
@@ -623,31 +659,34 @@ def q45_streaming_event_windows(spark, sf_dir):
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="q45_stream_")
-    shutil.copy(path, f"{stage}/events.parquet")
-    stream = spark.readStream.schema(schema).parquet(stage)
-    agg = (
-        stream.groupBy(
-            F.window(F.col("ts").cast("timestamp"), "5 minutes").alias("w"), "event_type"
+    try:
+        shutil.copy(path, f"{stage}/events.parquet")
+        stream = spark.readStream.schema(schema).parquet(stage)
+        agg = (
+            stream.groupBy(
+                F.window(F.col("ts").cast("timestamp"), "5 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(
-            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
-            "event_type",
-            "n_events",
-            "sum_value",
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"q45_sink_{_STREAM_SINK_SEQ[0]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    _STREAM_SINK_SEQ[0] += 1
-    name = f"q45_sink_{_STREAM_SINK_SEQ[0]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        q.awaitTermination()
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 def q42_sessionize(spark, sf_dir):
@@ -729,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_sniff_media_type": q32_sniff_media_type,
         "q33_aac_policy_keys": q33_aac_policy_keys,
         "q35_bucketed_ann_topk": q35_bucketed_ann_topk,
+        "q35b_ann_multiprobe": q35b_ann_multiprobe,
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
@@ -1059,6 +1099,35 @@ s AS (
     SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
            list_cosine_similarity(b.embedding, q.qv) AS cosine
     FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id != q.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+""",
+        "q35b_ann_multiprobe": """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[2] > 0 THEN '1' ELSE '0' END ||
+          CASE WHEN embedding[3] > 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+),
+q0 AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+qb AS (
+    SELECT qid, qv, unnest([
+        bucket,
+        (CASE substr(bucket, 1, 1) WHEN '1' THEN '0' ELSE '1' END) || substr(bucket, 2, 2),
+        substr(bucket, 1, 1) || (CASE substr(bucket, 2, 1) WHEN '1' THEN '0' ELSE '1' END) || substr(bucket, 3, 1),
+        substr(bucket, 1, 2) || (CASE substr(bucket, 3, 1) WHEN '1' THEN '0' ELSE '1' END)
+    ]) AS bucket
+    FROM q0
+),
+s AS (
+    SELECT qb.qid AS query_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(b.embedding, qb.qv) AS cosine
+    FROM b JOIN qb ON b.bucket = qb.bucket AND b.vec_id != qb.qid
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -75,30 +75,16 @@ def main() -> None:
     extras["fixture_gen_sec"] = round(fixture_sec, 2)
     tr.unpersist()
 
-    # --- headline operators over the sf tables ---
-    bench_queries = [
-        "q01_pricing_summary",
-        "q02_mktsegment_revenue",
-        "q07_topk_per_group",
-        "q13_part_refcount",
-        "q20_exact_dedup_docs",
-        "q21_minhash_lsh_pairs",
-        "q21_fast_minhash_pairs",
-        "q22_ngram_jaccard_pairs",
-        "q23_simhash",
-        "q28_cc_exact_clusters",
-        "q30_cosine_topk",
-        "q31_embedding_neardup",
-        "q40_event_windows",
-        "q42_sessionize",
-    ]
+    # --- every queries() entry over the sf tables (VERDICT r2 task 6:
+    # no unbenched operators — regressions anywhere are visible) ---
+    qs = entrymod.queries()
     # Each query runs twice with a cache clear in between, so BOTH runs
     # compute the full plan; the first pays JVM codegen/JIT (tens of
     # seconds for the lambda-heavy operators on this CPU), the second is
     # steady state. Reported timing = min (robust to hypervisor-steal
-    # stalls); cold time is kept in extras.
-    qs = entrymod.queries()
-    for name in bench_queries:
+    # stalls); cold time is kept in extras. Streaming queries (q44/q45)
+    # are timed end-to-end including stream start + drain.
+    for name in sorted(qs):
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         cold = time.time() - t0
@@ -107,6 +93,7 @@ def main() -> None:
         qs[name](spark, SF_DIR).count()
         warm = time.time() - t0
         spark.catalog.clearCache()
+        entrymod.release_query_caches()
         timings[name] = round(min(cold, warm), 2)
         extras[f"{name}_cold_sec"] = round(cold, 2)
         extras[f"{name}_rows"] = n

@@ -41,20 +41,27 @@ def explode_blocks(df: DataFrame, id_col: str, bands_col: str = "bands") -> Data
     return df.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("band_key"))
 
 
+DEFAULT_BLOOM_BUDGET_BYTES = 256 << 20  # auto mode falls back to semi above this
+
+
 def bloom_preprune(
     blocks: DataFrame,
-    mode: str = "semi",
+    mode: str = "auto",
     fpp: float = 1e-4,
     stats: dict | None = None,
+    shards: int = 1,
+    max_driver_bytes: int = DEFAULT_BLOOM_BUDGET_BYTES,
+    deps: list | None = None,
 ) -> DataFrame:
     """Drop rows whose band key appears exactly once — they cannot pair.
 
-    Both modes are the reference's HashDB bloom negative-lookup
+    All modes are the reference's HashDB bloom negative-lookup
     (/root/reference/src/HashDB.cpp:372, 429-431):
 
     ``mode="semi"``: semi-join against the repeated-key set; with
     ``spark.sql.optimizer.runtime.bloomFilter.enabled=true`` Catalyst
     physically executes this as a bloom-filter-pruned scan + shuffle.
+    Never materializes a driver bitmap — the safe mode at any scale.
 
     ``mode="bloom"``: the **explicit bloom pre-prune stage** — an
     app-built Bloom filter over the repeated-key set
@@ -64,7 +71,18 @@ def bloom_preprune(
     still has one row, which produces no a<b pair downstream. Preferred
     when singleton keys dominate (typical dedup corpora) because the
     wide block table never enters an exchange; the only shuffle is the
-    distinct-key groupBy that defines the repeated set.
+    distinct-key groupBy that defines the repeated set. Raises
+    :class:`BloomBudgetError` if the bitmap would exceed
+    ``max_driver_bytes``.
+
+    ``mode="auto"`` (default): bloom when the repeated-key bitmap fits
+    the driver budget, semi otherwise — the scale-safe default (the
+    repeated-band-key set is bounded by corpus duplicate structure at
+    typical scales, but nothing guarantees it; the budget does).
+
+    ``deps``: optional list that receives the built Bloom (it exposes
+    ``unpersist()``) so callers can release the cached bitmap broadcast
+    after their final action.
     """
     repeated = (
         blocks.groupBy("band_key")
@@ -73,13 +91,31 @@ def bloom_preprune(
         .select("band_key")
     )
     if mode == "semi":
+        if stats is not None:
+            stats["bloom_mode_used"] = "semi"
         return blocks.join(repeated, "band_key", "left_semi")
-    from dedupe_spark.functions.bloom import build_bloom
 
-    bloom = build_bloom(repeated, "band_key", fpp=fpp)
+    from dedupe_spark.functions.bloom import BloomBudgetError, build_bloom
+
+    try:
+        bloom = build_bloom(
+            repeated, "band_key", fpp=fpp, shards=shards,
+            max_driver_bytes=max_driver_bytes,
+        )
+    except BloomBudgetError:
+        if mode != "auto":
+            raise
+        if stats is not None:
+            stats["bloom_mode_used"] = "semi_budget_fallback"
+        return blocks.join(repeated, "band_key", "left_semi")
+    if deps is not None:
+        deps.append(bloom)
     if stats is not None:
+        stats["bloom_mode_used"] = "bloom"
         stats["bloom_num_bits"] = bloom.num_bits
         stats["bloom_num_hash"] = bloom.num_hash
+        stats["bloom_num_shards"] = bloom.num_shards
+        stats["bloom_driver_bytes"] = bloom.driver_bytes
         stats["bloom_repeated_keys"] = bloom.n_items
         stats["bloom_fill_ratio"] = round(bloom.fill_ratio, 6)
     return bloom.probe(blocks, "band_key")

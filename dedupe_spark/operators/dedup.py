@@ -314,19 +314,23 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, block_planes: int = 4
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, block_planes: int = 0
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity, built-in exprs only:
     zip_with dot product + aggregate norms.
 
-    Default is **banded**: a deterministic sign-pattern LSH bucket key
-    (``block_planes`` bits) turns the all-pairs comparison into a
-    per-bucket equi-join — the scan shuffles on ``bucket`` and never
-    builds a CartesianProduct, so the plan survives at 100 TB. Recall is
-    bucket-local by construction (pairs straddling a sign boundary are
-    missed — raise recall by lowering ``block_planes`` or probing
-    neighboring buckets). ``block_planes=0`` requests the exact
-    all-pairs cross join; only for small, explicitly-bounded inputs.
+    Default (``block_planes=0``) is the **exact** all-pairs cross join —
+    callers get full recall unless they explicitly opt into banding
+    (ADVICE r2: an approximate default silently drops pairs straddling
+    sign boundaries). Exact is only for small, explicitly-bounded inputs.
+
+    ``block_planes>0`` is the scale path: a deterministic sign-pattern
+    LSH bucket key turns the all-pairs comparison into a per-bucket
+    equi-join — the scan shuffles on ``bucket`` and never builds a
+    CartesianProduct, so the plan survives at 100 TB (the pipeline and
+    q31 pass it explicitly). Recall is bucket-local by construction
+    (pairs straddling a sign boundary are missed — raise recall by
+    lowering ``block_planes`` or probing neighboring buckets).
     """
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"))

@@ -75,6 +75,10 @@ def register_turns_incremental(
     membership: DataFrame,
     fpp: float = 1e-4,
     deps: list[DataFrame] | None = None,
+    registry_bloom=None,
+    bloom_shards: int = 1,
+    max_driver_bytes: int | None = 256 << 20,
+    state: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ingest against an EXISTING registry — the reference's
     ``prepare_insert`` + ``register_block`` probe flow
@@ -91,25 +95,63 @@ def register_turns_incremental(
       3. membership rows for the new batch append against the merged
          registry.
 
+    Scale bounds on step 1 (the full-registry fingerprint set is the
+    10^12-key path — a monolithic bitmap there is TBs of driver memory):
+
+      * ``registry_bloom``: a filter persisted from the previous batch
+        (``Bloom.save``/``load`` or the object itself) — skips the
+        rebuild entirely; the warm path for batch N>1.
+      * ``bloom_shards``: shard the build (bounded per-shard aggregates).
+      * ``max_driver_bytes``: when even the sharded bitmap exceeds this
+        budget, fall back to the semi-join probe — every distinct
+        incoming fp joins the registry (Catalyst's runtime bloom filter
+        still prunes the scan), no driver bitmap at all.
+
+    ``state`` (optional dict) receives ``state["bloom"]`` — the registry
+    filter *including this batch's new fingerprints* (via shape-preserving
+    ``insert_df``) for the caller to persist for the next batch — and
+    ``state["bloom_mode_used"]``.
+
     Returns (unique_turns', membership') — the merged tables.
     """
-    from dedupe_spark.functions.bloom import build_bloom
+    from dedupe_spark.functions.bloom import BloomBudgetError, build_bloom
 
     t = new_transcripts.withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     ).withColumn("fp", F.md5("text"))
 
-    bloom = build_bloom(unique_turns.select("fp"), "fp", fpp=fpp)
+    bloom = registry_bloom
+    if bloom is None:
+        try:
+            bloom = build_bloom(
+                unique_turns.select("fp"), "fp", fpp=fpp,
+                shards=bloom_shards, max_driver_bytes=max_driver_bytes,
+            )
+        except BloomBudgetError:
+            bloom = None
+
     flagged = t.select("fp").distinct()
-    flagged = bloom.flag(flagged, "fp", "_maybe")
-    probed = (
-        flagged.where("_maybe")
-        .join(unique_turns.select("fp", "block_id"), "fp", "left")
-    )
-    # bloom false positives fall through to the new-fp set
-    new_fps = flagged.where(~F.col("_maybe")).select("fp").unionByName(
-        probed.where(F.col("block_id").isNull()).select("fp")
-    )
+    if bloom is not None:
+        flagged = bloom.flag(flagged, "fp", "_maybe")
+        probed = (
+            flagged.where("_maybe")
+            .join(unique_turns.select("fp", "block_id"), "fp", "left")
+        )
+        # bloom false positives fall through to the new-fp set
+        new_fps = flagged.where(~F.col("_maybe")).select("fp").unionByName(
+            probed.where(F.col("block_id").isNull()).select("fp")
+        )
+        if state is not None:
+            state["bloom"] = bloom.insert_df(flagged.select("fp"), "fp")
+            state["bloom_mode_used"] = "bloom"
+        if deps is not None:
+            deps.append(bloom)
+    else:
+        # budget fallback: no driver bitmap — probe the registry directly
+        probed = flagged.join(unique_turns.select("fp", "block_id"), "fp", "left")
+        new_fps = probed.where(F.col("block_id").isNull()).select("fp")
+        if state is not None:
+            state["bloom_mode_used"] = "semi_budget_fallback"
 
     canon = (
         t.join(new_fps, "fp", "left_semi")

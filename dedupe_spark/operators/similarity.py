@@ -57,6 +57,15 @@ def brute_force_topk(
     )
 
 
+def _flip_bit(bucket: Column, i: int, planes: int) -> Column:
+    """The bucket string with bit ``i`` flipped (Hamming-1 neighbor)."""
+    return F.concat(
+        F.substring(bucket, 1, i),
+        F.when(F.substring(bucket, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, i + 2, planes - i - 1),
+    )
+
+
 def bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -64,6 +73,7 @@ def bucketed_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 3,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only vectors in the query's sign bucket.
 
@@ -71,6 +81,13 @@ def bucketed_topk(
     reproducible across runs/clusters). Recall trades off with ``planes``;
     at scale, store the bucket as a table column and partition by it so a
     probe touches 1/2^planes of the data (partition pruning does the rest).
+
+    ``multiprobe=True`` (off by default) additionally probes every
+    Hamming-1 neighboring bucket — the standard multi-probe LSH recall
+    lift for queries near a hyperplane boundary. Cost scales from 1 to
+    1+planes buckets per query (still partition-pruned at scale: the
+    probe list is explicit bucket keys, never a scan). Each vector lives
+    in exactly one bucket, so probes never duplicate a neighbor.
     """
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
@@ -84,6 +101,11 @@ def bucketed_topk(
         _norm(F.col(vec_col)).alias("nq"),
         _sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"), *[_flip_bit(F.col("bucket"), i, planes) for i in range(planes)]
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

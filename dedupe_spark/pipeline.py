@@ -37,8 +37,13 @@ class PipelineConfig:
     salt_groups: int = blocking.DEFAULT_SALT_GROUPS
     min_len_ratio: float = scoring.MIN_LEN_RATIO
     # "bloom" = explicit map-side Bloom pre-prune (functions/bloom.py);
-    # "semi" = semi-join + Catalyst runtime bloom filter
-    bloom_mode: str = "bloom"
+    # "semi" = semi-join + Catalyst runtime bloom filter;
+    # "auto" (default) = bloom while the repeated-key bitmap fits
+    # bloom_max_driver_bytes, semi beyond it — the 10^12-key registry
+    # can never pin a multi-TB bitmap on the driver
+    bloom_mode: str = "auto"
+    bloom_shards: int = 1
+    bloom_max_driver_bytes: int = blocking.DEFAULT_BLOOM_BUDGET_BYTES
     # chunk_aac-style blocking-key policy (C4, reference
     # src/deduplication.cpp:1350-1390): conversations dominated by
     # tool-role turns (machine output) get exact-fp keys only — the
@@ -117,7 +122,14 @@ def run(
     # 4. LSH candidate pairs: explode bands -> bloom prune -> salted join
     blocks = blocking.explode_blocks(docs, "conv_id", "bands")
     bloom_stats: dict = {}
-    blocks = blocking.bloom_preprune(blocks, mode=cfg.bloom_mode, stats=bloom_stats)
+    blocks = blocking.bloom_preprune(
+        blocks,
+        mode=cfg.bloom_mode,
+        stats=bloom_stats,
+        shards=cfg.bloom_shards,
+        max_driver_bytes=cfg.bloom_max_driver_bytes,
+        deps=persisted,  # the Bloom's cached broadcast is released with the caches
+    )
     cands = blocking.candidate_pairs(
         blocks,
         max_block=cfg.max_block,
@@ -149,7 +161,7 @@ def run(
     clusters = clustering.clusters_with_singletons(docs.select("conv_id"), cc)
 
     if cfg.compute_metrics or catalog is not None:
-        metrics = _metrics(docs, blocks, cands, scored, clusters, bloom_stats)
+        metrics = _metrics(docs, blocks, cands, scored, clusters, bloom_stats, cfg)
     else:
         metrics = spark.createDataFrame([], "metric string, value double")
 
@@ -169,12 +181,32 @@ def run(
     return result
 
 
-def _metrics(docs, blocks, cands, scored, clusters, bloom_stats=None) -> DataFrame:
+def _metrics(docs, blocks, cands, scored, clusters, bloom_stats=None, cfg=None) -> DataFrame:
     spark = docs.sparkSession
+    max_block = cfg.max_block if cfg else blocking.DEFAULT_MAX_BLOCK
+    # stop-band suppression is never silent: count the keys/rows the
+    # df > max_block cap removed from candidate generation (one extra agg)
+    dropped = (
+        blocking.block_frequencies(blocks)
+        .where(F.col("df") > max_block)
+        .agg(
+            F.count("*").alias("keys"),
+            F.coalesce(F.sum("df"), F.lit(0)).alias("rows"),
+        )
+        .first()
+    )
+    bloom_mode = (bloom_stats or {}).get("bloom_mode_used", "")
     rows = [
         ("n_conversations", float(docs.count())),
         ("n_block_rows_after_prune", float(blocks.count())),
-        *[(k, float(v)) for k, v in (bloom_stats or {}).items()],
+        ("n_stopband_keys_dropped", float(dropped["keys"])),
+        ("n_stopband_rows_dropped", float(dropped["rows"])),
+        ("bloom_mode_is_bloom", 1.0 if bloom_mode.startswith("bloom") else 0.0),
+        *[
+            (k, float(v))
+            for k, v in (bloom_stats or {}).items()
+            if isinstance(v, (int, float))
+        ],
         ("n_candidate_pairs", float(cands.count())),
         ("n_scored_pairs", float(scored.count())),
         ("n_duplicate_pairs", float(scored.where("is_dup").count())),

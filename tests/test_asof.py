@@ -51,6 +51,58 @@ def test_asof_join_pandas_matches(asof_data):
     assert got == _expected()
 
 
+@pytest.fixture(scope="module")
+def asof_ties(spark):
+    """Right-side timestamp ties + duplicate left rows + equal-ts match:
+    the deterministic tie-break is 'latest ts, then greatest value
+    columns' (the SQL oracle's ts DESC, v DESC)."""
+    left = spark.createDataFrame(
+        [
+            (1, "u1", T0 + timedelta(minutes=10)),
+            (2, "u1", T0 + timedelta(minutes=10)),  # duplicate-shaped left row
+            (3, "u1", T0 + timedelta(minutes=5)),   # equal-ts right match (inclusive <=)
+        ],
+        "oid long, k string, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", T0 + timedelta(minutes=5), 300),
+            ("u1", T0 + timedelta(minutes=5), 302),  # tie at 5m -> greatest v wins
+            ("u1", T0 + timedelta(minutes=5), 301),
+            ("u1", T0 + timedelta(minutes=2), 999),  # earlier, must lose to 5m rows
+        ],
+        "k string, rts timestamp, v long",
+    )
+    return left, right
+
+
+def test_asof_tie_break_composed(asof_ties):
+    left, right = asof_ties
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts", right_vals=["v"])
+    got = {r["oid"]: r["asof_v"] for r in out.collect()}
+    assert got == {1: 302, 2: 302, 3: 302}
+
+
+def test_asof_tie_break_pandas_matches_composed(asof_ties):
+    """ADVICE r2: merge_asof's pick on (key, ts) ties was sort-order
+    arbitrary; the stable (ts, vals) sort pins it to the documented
+    greatest-value tie-break."""
+    left, right = asof_ties
+    out = asof_join_pandas(left, right, key="k", left_ts="lts", right_ts="rts", right_vals=["v"])
+    got = {r["oid"]: r["asof_v"] for r in out.collect()}
+    assert got == {1: 302, 2: 302, 3: 302}
+
+
+def test_asof_join_plan_has_no_join(asof_data):
+    """The composed variant is a union + window — the plan must contain
+    no join operator at all (the r2 unbounded-intermediate fix)."""
+    left, right = asof_data
+    out = asof_join(left, right, key="k", left_ts="lts", right_ts="rts", right_vals=["v"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
 def test_range_join_count(spark, asof_data):
     left, right = asof_data
     out = range_join_count(

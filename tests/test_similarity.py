@@ -54,6 +54,39 @@ def test_bucketed_finds_planted_near_duplicates(spark):
     assert hits >= 18, f"only {hits}/20 planted near-dups found"
 
 
+def test_multiprobe_lifts_recall(spark, vectors):
+    """Multi-probe (Hamming-1 buckets) recall vs brute-force is >= the
+    single-bucket probe's, and strictly higher on this fixture (random
+    gaussian vectors put many queries near a hyperplane boundary).
+    Documented tradeoff: 1 -> 1+planes buckets probed per query."""
+    df, vecs = vectors
+    queries = df.where(F.col("vec_id") < 20)
+    truth = _numpy_topk(vecs, range(20), 5)
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hit = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+        return hit / sum(len(t) for t in truth.values())
+
+    single = recall(bucketed_topk(df, queries, k=5, planes=3).collect())
+    multi = recall(bucketed_topk(df, queries, k=5, planes=3, multiprobe=True).collect())
+    assert multi >= single
+    assert multi > single  # boundary queries exist in this fixture
+    assert multi >= 0.6
+
+
+def test_multiprobe_no_duplicate_neighbors(spark, vectors):
+    df, _ = vectors
+    queries = df.where(F.col("vec_id") < 5)
+    rows = bucketed_topk(df, queries, k=50, planes=2, multiprobe=True).collect()
+    seen = set()
+    for r in rows:
+        assert (r["query_id"], r["neighbor_id"]) not in seen
+        seen.add((r["query_id"], r["neighbor_id"]))
+
+
 def test_bucketed_is_subset_semantics(spark, vectors):
     df, _ = vectors
     queries = df.where(F.col("vec_id") < 5)
