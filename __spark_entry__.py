@@ -489,6 +489,27 @@ def q33_aac_policy_keys(spark, sf_dir):
     )
 
 
+def q36_jaro_winkler_pairs(spark, sf_dir):
+    """Batch-vectorized Jaro-Winkler pair scoring (the north star's named
+    scorer; operators/scoring.py:jaro_winkler_batch — numpy over padded
+    byte matrices, Arrow-batched). Pairs are consecutive doc ids (a
+    deterministic pair set); both engines cap the comparison at the same
+    256-char prefix. DuckDB's ``jaro_winkler_similarity`` implements the
+    identical standard algorithm (verified bit-for-bit on 2k random
+    cases), so this UDF has an exact SQL oracle."""
+    from dedupe_spark.operators.scoring import jaro_winkler_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"),
+                 F.col("text").alias("tb"))
+    jw = jaro_winkler_udf(prefix_cap=256)
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b", F.round(jw(F.col("ta"), F.col("tb")), 6).alias("jw_sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -769,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_aac_policy_keys": q33_aac_policy_keys,
         "q35_bucketed_ann_topk": q35_bucketed_ann_topk,
         "q35b_ann_multiprobe": q35b_ann_multiprobe,
+        "q36_jaro_winkler_pairs": q36_jaro_winkler_pairs,
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
@@ -1105,6 +1127,12 @@ SELECT query_id, neighbor_id, rank FROM (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM s) WHERE rank <= 5
+""",
+        "q36_jaro_winkler_pairs": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(jaro_winkler_similarity(substr(a.text, 1, 256),
+                                     substr(b.text, 1, 256)), 6) AS jw_sim
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """,
         "q35b_ann_multiprobe": """
 WITH b AS (

@@ -169,8 +169,15 @@ class IcebergCatalog:
         summary: dict | None = None,
         partition_by: list[str] | None = None,
     ) -> int:
-        """Snapshot-atomic commit; returns the new Iceberg snapshot id."""
+        """Snapshot-atomic commit; returns the new Iceberg snapshot id.
+
+        ``summary`` entries are attached to the Iceberg snapshot itself
+        via ``snapshot-property.*`` write options, so they surface in the
+        snapshots metadata table exactly like SnapshotCatalog's summary
+        (same read path in ``snapshots()``)."""
         writer = df.writeTo(self._qual(table))
+        for k, v in (summary or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
         if partition_by:
             from pyspark.sql import functions as F
 
@@ -178,13 +185,25 @@ class IcebergCatalog:
         if mode == "overwrite":
             writer.createOrReplace()
         elif self.exists(table):
-            df.writeTo(self._qual(table)).append()
+            writer.append()
         else:
             writer.create()
         return self.current_snapshot_id(table)
 
     # -- reads ---------------------------------------------------------
     def current_snapshot_id(self, table: str) -> int:
+        """The ``main`` branch head from the refs metadata table — the
+        table's actual current snapshot pointer. (Ordering the snapshots
+        table by ``committed_at`` can tie at timestamp granularity for
+        rapid commits and pick the wrong head — ADVICE r2.)"""
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qual(table)}.refs WHERE name = 'main'"
+            ).collect()
+            if rows:
+                return int(rows[0]["snapshot_id"])
+        except Exception:
+            pass
         rows = self.snapshots(table)
         return rows[-1]["snapshot_id"] if rows else 0
 

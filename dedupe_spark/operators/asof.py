@@ -96,39 +96,55 @@ def asof_join_pandas(
     left_ts: str,
     right_ts: str,
     right_vals: list[str],
+    num_buckets: int = 64,
 ) -> DataFrame:
-    """merge_asof per key group — the scale path.
+    """merge_asof over hash-bucketed cogroups — the pandas scale path.
 
-    Both sides are co-grouped by key (one shuffle each); each group runs a
-    sorted O(n+m) merge in pandas. No quadratic intermediate.
+    Cogrouping directly on ``key`` invokes the Arrow merge once per key —
+    per-group pandas fixed costs dominate when keys are many and small
+    (measured 33 s on 6k user keys at sf0.1). Instead both sides cogroup
+    on ``pmod(xxhash64(key), num_buckets)`` — a bounded number of large
+    groups — and ``pd.merge_asof(by=key)`` does the per-key matching
+    inside each bucket in one sorted O(n+m) pass. Same semantics, same
+    deterministic tie-break, ~num_keys/num_buckets fewer Arrow crossings.
     """
     out_fields = [left.schema[c] for c in left.columns] + [
         T.StructField(f"asof_{c}", right.schema[c].dataType, True) for c in right_vals
     ]
     out_schema = T.StructType(out_fields)
-    lcols, rcols = list(left.columns), [key, right_ts, *right_vals]
+    rcols = [key, right_ts, *right_vals]
+    bucket = F.pmod(F.xxhash64(key), F.lit(num_buckets)).alias("_b")
 
     def merge(lpdf, rpdf):
-        lpdf = lpdf.sort_values(left_ts)
+        lpdf = lpdf.drop(columns=["_b"]).sort_values(left_ts, kind="mergesort")
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        # merge_asof(backward) picks the LAST right row in frame order
-        # among equal timestamps — sort value columns ascending (stable)
-        # so that pick is deterministically "greatest value columns",
-        # matching asof_join and the SQL oracle's ts DESC, vals DESC.
-        rpdf = rpdf.sort_values([right_ts, *right_vals], kind="mergesort")
+        if len(rpdf) == 0:
+            out = lpdf.copy()
+            for c in right_vals:
+                out[f"asof_{c}"] = None
+            return out[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
+        # merge_asof(backward) picks the LAST matching right row in frame
+        # order among equal (key, ts) — sort value columns ascending
+        # (stable) so that pick is deterministically "greatest value
+        # columns", matching asof_join and the SQL oracle's ts/vals DESC.
+        rpdf = rpdf.drop(columns=["_b"]).sort_values(
+            [right_ts, *right_vals], kind="mergesort"
+        )
         merged = pd.merge_asof(
             lpdf,
-            rpdf[[right_ts, *right_vals]].rename(columns={c: f"asof_{c}" for c in right_vals}),
+            rpdf.rename(columns={c: f"asof_{c}" for c in right_vals}),
             left_on=left_ts,
             right_on=right_ts,
+            by=key,
             direction="backward",
         )
         return merged[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
 
     return (
-        left.groupBy(key)
-        .cogroup(right.select(*rcols).groupBy(key))
+        left.select("*", bucket)
+        .groupBy("_b")
+        .cogroup(right.select(*rcols, bucket).groupBy("_b"))
         .applyInPandas(merge, schema=out_schema)
     )
 

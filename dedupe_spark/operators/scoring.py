@@ -21,6 +21,7 @@ pipeline.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -117,6 +118,112 @@ def jaro_winkler_py(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> floa
     return j + prefix * p * (1.0 - j)
 
 
+JW_PREFIX_CAP = 256  # bytes considered by the batched Jaro-Winkler
+JW_ACCEPT = 0.90  # ambiguous-band accept threshold for decider="jaro_winkler"
+
+
+def jaro_winkler_batch(
+    a_bytes: list[bytes], b_bytes: list[bytes], p: float = 0.1, max_prefix: int = 4
+) -> np.ndarray:
+    """Batch-vectorized Jaro-Winkler over padded byte matrices.
+
+    The north star names "batched Jaro-Winkler ... (no per-row Python)":
+    the whole batch is packed into (B, L) uint8 matrices and the Jaro
+    greedy matching runs as a loop over the L *character positions*, each
+    iteration a numpy mask/scatter over every pair at once — the same
+    batch-vectorization style as the MinHash signature
+    (operators/minhash.py np.minimum.reduceat). Per-batch cost is
+    O(B * L^2) byte-ops with numpy constants; L is capped by the caller
+    (JW_PREFIX_CAP), so per-pair cost is bounded like lev_ratio_expr's.
+
+    Semantics match ``jaro_winkler_py`` exactly (asserted by
+    tests/test_scoring.py against random + adversarial cases).
+    """
+    B = len(a_bytes)
+    if B == 0:
+        return np.zeros(0)
+    L = max(1, max((len(x) for x in (*a_bytes, *b_bytes)), default=1))
+    sa = np.zeros((B, L), dtype=np.uint8)
+    ta = np.zeros((B, L), dtype=np.uint8)
+    ls = np.zeros(B, dtype=np.int64)
+    lt = np.zeros(B, dtype=np.int64)
+    for i, bs in enumerate(a_bytes):  # padding memcpy only; compute is batched
+        ls[i] = len(bs)
+        sa[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    for i, bs in enumerate(b_bytes):
+        lt[i] = len(bs)
+        ta[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+
+    eq = (ls == lt) & (sa == ta).all(axis=1)
+    nz = (ls > 0) & (lt > 0)
+    active_all = nz & ~eq
+    # window=-1 (max len 1) means "no matches" in the scalar oracle; the
+    # clamp to 0 is equivalent there (two unequal 1-byte strings never
+    # match at position 0 anyway)
+    w = np.maximum(np.maximum(ls, lt) // 2 - 1, 0)
+    taken = np.zeros((B, L), dtype=bool)
+    s_buf = np.zeros((B, L), dtype=np.uint8)
+    j_buf = np.full((B, L), L, dtype=np.int64)
+    cnt = np.zeros(B, dtype=np.int64)
+    jidx = np.arange(L)[None, :]
+    i_max = int(ls[active_all].max()) if active_all.any() else 0
+    for i in range(i_max):
+        rows_active = active_all & (i < ls)
+        if not rows_active.any():
+            break
+        lo = np.maximum(i - w, 0)[:, None]
+        hi = np.minimum(i + w + 1, lt)[:, None]
+        m = (
+            (ta == sa[:, i : i + 1])
+            & ~taken
+            & (jidx >= lo)
+            & (jidx < hi)
+            & rows_active[:, None]
+        )
+        has = m.any(axis=1)
+        j = m.argmax(axis=1)
+        rows = np.flatnonzero(has)
+        taken[rows, j[rows]] = True
+        s_buf[rows, cnt[rows]] = sa[rows, i]
+        j_buf[rows, cnt[rows]] = j[rows]
+        cnt[rows] += 1
+    # transpositions: t-side matched chars in t order vs s order
+    j_sorted = np.sort(j_buf, axis=1)  # unmatched sentinel L sorts last
+    ta_ext = np.concatenate([ta, np.zeros((B, 1), dtype=np.uint8)], axis=1)
+    t_seq = np.take_along_axis(ta_ext, j_sorted, axis=1)
+    matched = np.arange(L)[None, :] < cnt[:, None]
+    trans = ((s_buf != t_seq) & matched).sum(axis=1) // 2
+    m_cnt = cnt.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (
+            m_cnt / np.maximum(ls, 1)
+            + m_cnt / np.maximum(lt, 1)
+            + (m_cnt - trans) / np.maximum(m_cnt, 1)
+        ) / 3.0
+    jaro = np.where((cnt > 0) & nz, jaro, 0.0)
+    # winkler prefix boost above 0.7
+    pw = min(max_prefix, L)
+    pref_eq = (sa[:, :pw] == ta[:, :pw]) & (
+        np.arange(pw)[None, :] < np.minimum(ls, lt)[:, None]
+    )
+    prefix = pref_eq.cumprod(axis=1).sum(axis=1)
+    jw = np.where(jaro > 0.7, jaro + prefix * p * (1.0 - jaro), jaro)
+    return np.where(eq, 1.0, jw)
+
+
+def jaro_winkler_udf(prefix_cap: int = JW_PREFIX_CAP):
+    """Arrow-batched Jaro-Winkler similarity pandas UDF (doc_a, doc_b) ->
+    double; the whole batch computes through ``jaro_winkler_batch``."""
+
+    @F.pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        ab = [s.encode("utf-8", "replace")[:prefix_cap] for s in a.fillna("")]
+        bb = [s.encode("utf-8", "replace")[:prefix_cap] for s in b.fillna("")]
+        return pd.Series(jaro_winkler_batch(ab, bb))
+
+    return jw
+
+
 def levenshtein_ratio_py(s: str, t: str) -> float:
     """Numpy DP Levenshtein similarity ratio — the test oracle for
     ``lev_ratio_expr`` (validates the JVM expression's values)."""
@@ -149,13 +256,23 @@ def score_pairs(
     doc_col: str = "doc",
     min_len_ratio: float = MIN_LEN_RATIO,
     k: int = 3,
+    decider: str = "levenshtein",
 ) -> DataFrame:
-    """Attach similarity scores to candidate pairs — all JVM expressions.
+    """Attach similarity scores to candidate pairs.
 
     pairs: (id_a, id_b); docs: (id_col, doc_col, doc_len).
     Returns (id_a, id_b, jaccard, lev_ratio, is_dup); ``lev_ratio`` is
-    -1.0 outside the ambiguous band (not computed — the Jaccard verdict
-    stands, mirroring blocks_cmp's cheap-first ordering).
+    the second-stage score, -1.0 outside the ambiguous band (not
+    computed — the Jaccard verdict stands, mirroring blocks_cmp's
+    cheap-first ordering).
+
+    ``decider`` picks the ambiguous-band second stage:
+      * ``"levenshtein"`` (default): ``F.levenshtein`` ratio — pure JVM,
+        zero Python in the plan, the fastest path.
+      * ``"jaro_winkler"``: the batch-vectorized Arrow JW UDF (the north
+        star's named scorer). Only the ambiguous band reaches the UDF —
+        the plan splits band/non-band and unions, so the Arrow crossing
+        never sees unambiguous pairs.
     """
     # The shingle array is computed HERE, once per doc row, below the
     # join: after the join it is a materialized attribute, so the (large)
@@ -189,15 +306,25 @@ def score_pairs(
     banded = joined.where(
         F.least("len_a", "len_b") >= (F.greatest("len_a", "len_b") * F.lit(min_len_ratio))
     )
-    scored = banded.withColumn(
-        "jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b"))
-    ).withColumn(
-        "lev_ratio",
-        F.when(
-            (F.col("jaccard") >= F.lit(JACCARD_GATE)) & (F.col("jaccard") < F.lit(JACCARD_ACCEPT)),
-            lev_ratio_expr(F.col("doc_a"), F.col("doc_b")),
-        ).otherwise(F.lit(-1.0)),
+    jacc = banded.withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+    in_band = (F.col("jaccard") >= F.lit(JACCARD_GATE)) & (
+        F.col("jaccard") < F.lit(JACCARD_ACCEPT)
     )
+    if decider == "jaro_winkler":
+        accept = JW_ACCEPT
+        amb = jacc.where(in_band).withColumn(
+            "lev_ratio", jaro_winkler_udf()(F.col("doc_a"), F.col("doc_b"))
+        )
+        rest = jacc.where(~in_band).withColumn("lev_ratio", F.lit(-1.0))
+        scored = amb.unionByName(rest)
+    else:
+        accept = LEV_ACCEPT
+        scored = jacc.withColumn(
+            "lev_ratio",
+            F.when(in_band, lev_ratio_expr(F.col("doc_a"), F.col("doc_b"))).otherwise(
+                F.lit(-1.0)
+            ),
+        )
     return scored.select(
         "id_a",
         "id_b",
@@ -205,6 +332,6 @@ def score_pairs(
         "lev_ratio",
         (
             (F.col("jaccard") >= JACCARD_ACCEPT)
-            | ((F.col("jaccard") >= JACCARD_GATE) & (F.col("lev_ratio") >= LEV_ACCEPT))
+            | ((F.col("jaccard") >= JACCARD_GATE) & (F.col("lev_ratio") >= accept))
         ).alias("is_dup"),
     )

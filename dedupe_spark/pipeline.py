@@ -36,6 +36,10 @@ class PipelineConfig:
     salt_threshold: int = blocking.DEFAULT_SALT_THRESHOLD
     salt_groups: int = blocking.DEFAULT_SALT_GROUPS
     min_len_ratio: float = scoring.MIN_LEN_RATIO
+    # ambiguous-band second-stage scorer: "levenshtein" (pure JVM, fastest)
+    # or "jaro_winkler" (batch-vectorized Arrow UDF — the north star's
+    # named scorer; same F1 on the labeled fixture, see test_scoring)
+    decider: str = "levenshtein"
     # "bloom" = explicit map-side Bloom pre-prune (functions/bloom.py);
     # "semi" = semi-join + Catalyst runtime bloom filter;
     # "auto" (default) = bloom while the repeated-key bitmap fits
@@ -145,7 +149,10 @@ def run(
 
     # 5. verification scoring (cheap -> expensive)
     scored = scoring.score_pairs(
-        cands, docs.select("conv_id", "doc", "doc_len"), min_len_ratio=cfg.min_len_ratio
+        cands,
+        docs.select("conv_id", "doc", "doc_len"),
+        min_len_ratio=cfg.min_len_ratio,
+        decider=cfg.decider,
     )
     sim_edges = scored.where("is_dup").select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

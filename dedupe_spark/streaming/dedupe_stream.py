@@ -70,3 +70,77 @@ def run_to_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     return q
+
+
+def stream_register_turns(
+    spark: SparkSession,
+    input_path: str,
+    catalog,
+    checkpoint_dir: str | None = None,
+    bloom_path: str | None = None,
+    max_files: int = 1,
+    synchronous: bool = True,
+):
+    """Continuous registry ingest: ``foreachBatch`` drives
+    ``register_turns_incremental`` so the stream maintains the SAME
+    unique-turn/membership tables as batch ingest (VERDICT r2 task 7 —
+    streaming dedup and incremental ingest become one path).
+
+    Per micro-batch:
+      1. read the current registry snapshot from ``catalog`` (empty
+         tables before the first commit);
+      2. probe/merge the batch with ``register_turns_incremental`` —
+         including the persisted-bloom warm path when ``bloom_path`` is
+         given (batch N+1 loads the filter batch N saved instead of
+         rebuilding over the registry);
+      3. commit both tables as new snapshots (atomic pointer swap), so a
+         crash between batches resumes from the last good registry, and
+         Structured Streaming's checkpoint guarantees each input file is
+         processed once.
+
+    Returns the StreamingQuery (already drained when ``synchronous``).
+    """
+    import os
+
+    from dedupe_spark.functions.bloom import Bloom
+    from dedupe_spark.operators.lifecycle import (
+        register_turns,
+        register_turns_incremental,
+    )
+
+    stream = read_transcript_stream(spark, input_path, max_files=max_files)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if catalog.exists("unique_turns"):
+            u = catalog.read("unique_turns")
+            m = catalog.read("membership")
+        else:
+            u, m = register_turns(batch_df.where(F.lit(False)))
+        bloom = None
+        if bloom_path and os.path.exists(bloom_path):
+            bloom = Bloom.load(bloom_path)
+            # a filter persisted when the registry was small saturates as
+            # the registry grows (still correct — false positives only —
+            # but it stops pruning); drop it so this batch rebuilds at
+            # the current registry size. Rebuilds therefore amortize:
+            # one per ~doubling of the registry.
+            if bloom.fill_ratio > 0.5:
+                bloom = None
+        state: dict = {}
+        u2, m2 = register_turns_incremental(
+            batch_df, u, m, registry_bloom=bloom, state=state
+        )
+        # two-table commit: membership last — readers joining membership
+        # to unique_turns never see a block_id the registry lacks
+        catalog.write("unique_turns", u2, summary={"batch_id": batch_id})
+        catalog.write("membership", m2, summary={"batch_id": batch_id})
+        if bloom_path and "bloom" in state:
+            state["bloom"].save(bloom_path)
+
+    writer = stream.writeStream.foreachBatch(process_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if synchronous:
+        q.awaitTermination()
+    return q

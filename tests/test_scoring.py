@@ -5,10 +5,48 @@ import pytest
 from pyspark.sql import functions as F
 
 from dedupe_spark.operators.scoring import (
+    jaro_winkler_batch,
     jaro_winkler_py,
     levenshtein_ratio_py,
     score_pairs,
 )
+
+
+def test_jaro_winkler_batch_matches_oracle():
+    """The batch-vectorized JW (numpy over padded byte matrices, the
+    decision-path implementation) equals the scalar oracle on random and
+    adversarial ascii inputs."""
+    rng = np.random.default_rng(3)
+    alphabet = "abcdefgh "
+    cases = [
+        ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"),
+        ("abc", "xyz"), ("", "abc"), ("", ""), ("a", "a"), ("a", "b"),
+        ("ab", "ba"), ("aaaa", "aaa"), ("prefix shared tail x", "prefix shared tail y"),
+    ]
+    for _ in range(300):
+        n1, n2 = rng.integers(0, 30, size=2)
+        s = "".join(rng.choice(list(alphabet), size=n1))
+        t = "".join(rng.choice(list(alphabet), size=n2))
+        cases.append((s, t))
+    got = jaro_winkler_batch(
+        [s.encode() for s, _ in cases], [t.encode() for _, t in cases]
+    )
+    for (s, t), g in zip(cases, got):
+        assert g == pytest.approx(jaro_winkler_py(s, t), abs=1e-12), (s, t)
+
+
+def test_jaro_winkler_udf_batched(spark):
+    from dedupe_spark.operators.scoring import jaro_winkler_udf
+
+    df = spark.createDataFrame(
+        [("MARTHA", "MARHTA"), ("abc", "xyz"), (None, "x"), ("same", "same")],
+        "a string, b string",
+    )
+    rows = {(r["a"], r["b"]): r["jw"] for r in df.select("a", "b", jaro_winkler_udf()(F.col("a"), F.col("b")).alias("jw")).collect()}
+    assert rows[("MARTHA", "MARHTA")] == pytest.approx(0.9611, abs=1e-3)
+    assert rows[("abc", "xyz")] == 0.0
+    assert rows[(None, "x")] == 0.0
+    assert rows[("same", "same")] == 1.0
 
 
 def test_jaro_winkler_known_values():

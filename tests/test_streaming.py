@@ -1,11 +1,13 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dedupe_spark import fixtures
 from dedupe_spark.streaming.dedupe_stream import (
     read_transcript_stream,
     run_to_memory_sink,
+    stream_register_turns,
     streaming_unique_turns,
     windowed_turn_metrics,
 )
@@ -29,6 +31,59 @@ def test_streaming_dedup_bounded_state(spark, stream_dir):
         assert out["n"] > 0
     finally:
         q.stop()
+
+
+def test_stream_register_turns_equals_batch(spark, tmp_path):
+    """Stream N files through foreachBatch incremental ingest -> the
+    final registry equals the one-shot batch registry (same fp set,
+    dense ids, exact reconstruction) — VERDICT r2 task 7 done-criterion.
+    Also exercises the persisted-bloom warm path across micro-batches."""
+    import os
+
+    from dedupe_spark.catalog import SnapshotCatalog
+    from dedupe_spark.operators.lifecycle import reconstruct, register_turns
+
+    tr = fixtures.transcripts(spark, n_conv=36).persist()
+    convs = sorted(r["conv_id"] for r in tr.select("conv_id").distinct().collect())
+    src = tmp_path / "incoming"
+    src.mkdir()
+    thirds = [convs[len(convs) // 3], convs[2 * len(convs) // 3]]
+    parts = [
+        tr.where(F.col("conv_id") < thirds[0]),
+        tr.where((F.col("conv_id") >= thirds[0]) & (F.col("conv_id") < thirds[1])),
+        tr.where(F.col("conv_id") >= thirds[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"file{i}"))
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    bloom_path = str(tmp_path / "registry.bloom")
+    q = stream_register_turns(
+        spark,
+        str(src / "*"),
+        catalog,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        bloom_path=bloom_path,
+        max_files=1,
+    )
+    assert not q.isActive  # availableNow drained synchronously
+    assert os.path.exists(bloom_path)  # the warm filter was persisted
+    # one snapshot per micro-batch (3 input files, maxFilesPerTrigger=1)
+    assert catalog.current_snapshot_id("unique_turns") >= 3
+
+    u = catalog.read("unique_turns")
+    m = catalog.read("membership")
+    full_u, _ = register_turns(tr)
+    assert sorted(r["fp"] for r in u.select("fp").collect()) == sorted(
+        r["fp"] for r in full_u.select("fp").collect()
+    )
+    ids = sorted(r["block_id"] for r in u.select("block_id").collect())
+    assert ids == list(range(len(ids)))
+    rebuilt = reconstruct(m, u).select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, tr.select("conv_id", "turn_idx", "text").collect())
+    )
+    tr.unpersist()
 
 
 def test_streaming_windowed_metrics(spark, stream_dir):
