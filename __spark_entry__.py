@@ -35,6 +35,20 @@ def release_query_caches() -> None:
         _QUERY_DEPS.pop().unpersist()
 
 
+class _MemorySinkDrop:
+    """Registers a streaming memory-sink view for the drain registry —
+    the sink's collected rows live in driver memory until the view drops."""
+
+    def __init__(self, spark: SparkSession, name: str):
+        self.spark, self.name = spark, name
+
+    def unpersist(self) -> None:
+        try:
+            self.spark.catalog.dropTempView(self.name)
+        except Exception:
+            pass
+
+
 # --------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect, matching dedupe_spark expressions)
 # --------------------------------------------------------------------------
@@ -662,6 +676,7 @@ def q44_streaming_dedup(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        _QUERY_DEPS.append(_MemorySinkDrop(spark, name))
         # the memory sink holds the rows; the staged input can go now
         return spark.table(name)
     finally:
@@ -705,6 +720,7 @@ def q45_streaming_event_windows(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+        _QUERY_DEPS.append(_MemorySinkDrop(spark, name))
         return spark.table(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

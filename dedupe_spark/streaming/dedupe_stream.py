@@ -114,6 +114,17 @@ def stream_register_turns(
         if catalog.exists("unique_turns"):
             u = catalog.read("unique_turns")
             m = catalog.read("membership")
+            # foreachBatch is at-least-once: a crash after the catalog
+            # commit but before the stream checkpoint re-delivers the
+            # batch. Registration is idempotent for unique_turns (known
+            # fps add nothing) but would append duplicate membership
+            # rows — drop already-registered conversations up front
+            # (exactly-once at conversation granularity).
+            batch_df = batch_df.join(
+                m.select("conv_id").distinct(), "conv_id", "left_anti"
+            )
+            if batch_df.limit(1).count() == 0:
+                return  # full re-delivery: nothing new, no snapshot churn
         else:
             u, m = register_turns(batch_df.where(F.lit(False)))
         bloom = None

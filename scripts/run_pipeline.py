@@ -36,8 +36,13 @@ def main() -> None:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
-    ap.add_argument("--bloom-mode", default="bloom", choices=["bloom", "semi"],
-                    help="explicit map-side bloom pre-prune vs semi-join + runtime filter")
+    ap.add_argument("--bloom-mode", default="auto", choices=["auto", "bloom", "semi"],
+                    help="explicit map-side bloom pre-prune vs semi-join + runtime "
+                         "filter; auto picks bloom while the bitmap fits the driver budget")
+    ap.add_argument("--bloom-shards", type=int, default=1,
+                    help="shard the bloom build (bounded per-shard aggregates)")
+    ap.add_argument("--decider", default="levenshtein", choices=["levenshtein", "jaro_winkler"],
+                    help="ambiguous-band second-stage scorer")
     ap.add_argument("--no-aac", action="store_true",
                     help="disable the tool-role-aware blocking-key policy (C4)")
     ap.add_argument("--catalog", default="snapshot", choices=["snapshot", "iceberg"],
@@ -73,6 +78,8 @@ def main() -> None:
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
         bloom_mode=args.bloom_mode,
+        bloom_shards=args.bloom_shards,
+        decider=args.decider,
         aac_policy=not args.no_aac,
     )
 

@@ -49,6 +49,19 @@ def test_catalog_contract(spark, catalog):
     assert len(sids) == 3 and len(set(sids)) == 3
 
 
+def test_catalog_summary_round_trip(spark, catalog):
+    """The commit summary surfaces in the snapshot history (ADVICE r2:
+    IcebergCatalog silently dropped it; now attached as snapshot
+    properties on both backends)."""
+    t = "summary_tbl"
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    catalog.write(t, df, summary={"batch_id": 7, "source": "contract"})
+    snaps = catalog.snapshots(t)
+    merged = {k: str(v) for s in snaps for k, v in (s.get("summary") or {}).items()}
+    assert merged.get("batch_id") == "7"
+    assert merged.get("source") == "contract"
+
+
 def test_pipeline_commit_against_catalog(spark, catalog):
     from dedupe_spark import fixtures, pipeline
 

@@ -35,6 +35,32 @@ def test_jaro_winkler_batch_matches_oracle():
         assert g == pytest.approx(jaro_winkler_py(s, t), abs=1e-12), (s, t)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abcdef 123.!", max_size=40),
+                st.text(alphabet="abcdef 123.!", max_size=40),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_jaro_winkler_batch_property(pairs):
+        got = jaro_winkler_batch(
+            [s.encode() for s, _ in pairs], [t.encode() for _, t in pairs]
+        )
+        for (s, t), g in zip(pairs, got):
+            assert g == pytest.approx(jaro_winkler_py(s, t), abs=1e-12)
+            assert 0.0 <= g <= 1.0
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_jaro_winkler_udf_batched(spark):
     from dedupe_spark.operators.scoring import jaro_winkler_udf
 

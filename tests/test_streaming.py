@@ -86,6 +86,32 @@ def test_stream_register_turns_equals_batch(spark, tmp_path):
     tr.unpersist()
 
 
+def test_stream_register_turns_redelivery_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-processing the same files (a
+    fresh checkpoint simulates a crash-restart re-delivery) must leave
+    the registry unchanged — no duplicate membership rows, no id churn."""
+    from dedupe_spark.catalog import SnapshotCatalog
+
+    tr = fixtures.transcripts(spark, n_conv=12).persist()
+    src = tmp_path / "in"
+    src.mkdir()
+    tr.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    stream_register_turns(spark, str(src / "*"), catalog, checkpoint_dir=str(tmp_path / "c1"))
+    u1 = sorted(map(tuple, catalog.read("unique_turns").collect()))
+    m1 = sorted(map(tuple, catalog.read("membership").collect()))
+    sid1 = catalog.current_snapshot_id("membership")
+
+    # fresh checkpoint -> the file source re-delivers everything
+    stream_register_turns(spark, str(src / "*"), catalog, checkpoint_dir=str(tmp_path / "c2"))
+    assert sorted(map(tuple, catalog.read("unique_turns").collect())) == u1
+    assert sorted(map(tuple, catalog.read("membership").collect())) == m1
+    # full re-delivery short-circuits before committing snapshots
+    assert catalog.current_snapshot_id("membership") == sid1
+    tr.unpersist()
+
+
 def test_streaming_windowed_metrics(spark, stream_dir):
     stream = read_transcript_stream(spark, stream_dir)
     metrics = windowed_turn_metrics(stream)
