@@ -20,6 +20,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before expression-heavy work.
+
+    The sf* test tables are single small parquet files (one row group), so
+    the scan arrives as ONE input partition and everything up to the first
+    exchange — shingle hashing, MinHash permutations, per-gram md5 — would
+    run on a single core. The exchange moves only the raw table (<1 MB at
+    bench scale) and buys full parallelism for the heavy projection above
+    it. At production scale multi-file inputs arrive well-split and this
+    is a no-op.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # Caches (persisted DataFrames, bloom bitmap broadcasts) created by the
 # previous queries() invocation. A query callable returns a lazy
 # DataFrame, so it cannot unpersist its own intermediates — instead each
@@ -352,7 +369,7 @@ def q21_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (md5-string permutations, oracle-exact)."""
     from dedupe_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, rows_per_band=2)
 
 
@@ -363,7 +380,7 @@ def q22_ngram_jaccard_pairs(spark, sf_dir):
     from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     release_query_caches()
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     out = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5, deps=_QUERY_DEPS)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -380,7 +397,7 @@ def q21_fast_minhash_pairs(spark, sf_dir):
     from dedupe_spark.operators.dedup import normalize_expr
 
     release_query_caches()
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, _t(spark, sf_dir, "documents")).select(
         "doc_id", normalize_expr(F.col("text")).alias("doc")
     )
     banded = minhash.with_minhash_bands(d, "doc", k=3, num_perm=128, bands=32)
@@ -397,7 +414,7 @@ def q23_simhash(spark, sf_dir):
     """SimHash document signatures (60-bit, expression-only)."""
     from dedupe_spark.operators.dedup import simhash64
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
@@ -490,7 +507,7 @@ def q33_aac_policy_keys(spark, sf_dir):
     dispatch has an exact ANSI-SQL oracle."""
     from dedupe_spark.operators.dedup import minhash_band_keys_sql, normalize_expr
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     exact_keys = d.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("id"),
         F.concat(F.lit("x:"), F.md5(normalize_expr(F.col("text")))).alias("band_key"),

@@ -88,13 +88,18 @@ def main() -> None:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         cold = time.time() - t0
-        spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        warm = time.time() - t0
+        runs = [cold]
+        # warm rerun; heavy queries (>5s best) get a third run — this VM's
+        # hypervisor-steal lottery makes single long runs vary 2-4x, and
+        # the longer a run the likelier it straddles a steal burst
+        while len(runs) < 2 or (len(runs) < 3 and min(runs) > 5.0):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            runs.append(time.time() - t0)
         spark.catalog.clearCache()
         entrymod.release_query_caches()
-        timings[name] = round(min(cold, warm), 2)
+        timings[name] = round(min(runs), 2)
         extras[f"{name}_cold_sec"] = round(cold, 2)
         extras[f"{name}_rows"] = n
 
