@@ -743,6 +743,42 @@ def q45_streaming_event_windows(spark, sf_dir):
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def q46_streaming_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (streaming/dedupe_stream.py
+    stream_sessionize) — per-user (last_ts, session_idx) state carried
+    across micro-batches, vectorized numpy inside each group. Output is
+    identical to the batch lag + running-sum sessionize, so q42's SQL
+    oracle is exact (tests/test_streaming.py additionally proves
+    multi-batch equality — state survives batch boundaries)."""
+    import shutil
+    import tempfile
+
+    from dedupe_spark.streaming.dedupe_stream import stream_sessionize
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="q46_stream_")
+    try:
+        shutil.copy(path, f"{stage}/events.parquet")
+        stream = spark.readStream.schema(schema).parquet(stage)
+        sess = stream_sessionize(stream)
+        _STREAM_SINK_SEQ[0] += 1
+        name = f"q46_sink_{_STREAM_SINK_SEQ[0]}"
+        q = (
+            sess.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _QUERY_DEPS.append(_MemorySinkDrop(spark, name))
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def q42_sessionize(spark, sf_dir):
     """Sessionization: 30-min-gap session ids via lag + running sum."""
     from pyspark.sql import Window
@@ -830,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_json_extract": q43_json_extract,
         "q44_streaming_dedup": q44_streaming_dedup,
         "q45_streaming_event_windows": q45_streaming_event_windows,
+        "q46_streaming_sessionize": q46_streaming_sessionize,
     }
 
 
@@ -1236,6 +1273,20 @@ FROM events
 SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # the stateful streaming sessionize reproduces the batch
+        # sessionize exactly (state carries (last_ts, idx) across
+        # micro-batches), so the q42 oracle applies verbatim
+        "q46_streaming_sessionize": """
+SELECT user_id, event_id,
+       (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_idx
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events)
 """,
         "q40_event_windows": """
 SELECT (epoch_ms(ts) // 300000) * 300000 AS window_start_ms, event_type,

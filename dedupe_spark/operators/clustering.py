@@ -15,10 +15,15 @@ O(log n) rounds and keep every step a plain DataFrame groupBy/join:
 
 Each iteration is checkpointed — ``localCheckpoint`` to truncate lineage
 (else the DAG doubles every round), and optionally parquet snapshots per
-iteration (``checkpoint_dir``) with a metrics row per iteration, so the
-loop is resumable mid-run (north-rule resumability; reference analog:
-``prepare_insert`` rebuilding state from the package,
-/root/reference/src/deduplication.cpp:658-792).
+iteration (``checkpoint_dir``) with a metrics row per iteration AND a
+**per-partition lineage table** (iteration, partition_id, n_rows,
+checksum — one row per written snapshot partition), so the loop is
+resumable mid-run and every resume can prove the snapshot it restarts
+from is intact: XOR is associative, so the fold of the per-partition
+checksums must equal the whole-snapshot checksum
+(``verify_snapshot_lineage``). North-rule resumability; reference
+analog: ``prepare_insert`` rebuilding state from the package,
+/root/reference/src/deduplication.cpp:658-792.
 """
 
 from __future__ import annotations
@@ -97,10 +102,14 @@ def connected_components(
     e = _canonical(edges)
     start_iter = 0
     if checkpoint_dir and resume:
-        latest = _latest_snapshot(checkpoint_dir)
-        if latest is not None:
-            start_iter, path = latest
-            e = spark.read.parquet(path)
+        # resume from the newest snapshot whose per-partition lineage
+        # verifies — a crash can tear the last snapshot (written but its
+        # lineage rows lost, or vice versa); earlier iterations are
+        # still valid restart points, just more rounds to redo
+        for it, path in _snapshots_desc(checkpoint_dir):
+            if verify_snapshot_lineage(spark, checkpoint_dir, it):
+                start_iter, e = it, spark.read.parquet(path)
+                break
 
     # lazy checkpoint + checksum: the checksum action materializes the
     # checkpoint in the SAME job, halving driver round-trips per iteration
@@ -131,18 +140,78 @@ def _write_snapshot(e: DataFrame, checkpoint_dir: str, iteration: int, checksum:
         [(iteration, checksum[0], checksum[1])], "iteration int, n_edges long, checksum long"
     )
     metrics.write.mode("append").parquet(os.path.join(checkpoint_dir, "metrics"))
+    # per-partition lineage: one row per partition of the snapshot just
+    # written (the write preserves e's checkpointed partitioning, so
+    # partition_id identifies the written file). The XOR fold of these
+    # checksums equals the iteration checksum — resume integrity is
+    # verifiable without trusting the metrics row. Hive-style
+    # iteration=N subdir, overwritten per redo: a resumed run that
+    # re-executes an iteration replaces its lineage rather than
+    # appending a second (stale) copy.
+    (
+        e.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("checksum"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(checkpoint_dir, "lineage", f"iteration={iteration}"))
+    )
+
+
+def verify_snapshot_lineage(
+    spark: SparkSession, checkpoint_dir: str, iteration: int | None = None
+) -> bool:
+    """Does the stored snapshot match its per-partition lineage rows?
+
+    Recomputes (row count, edge checksum) from the snapshot parquet and
+    compares against the lineage fold — ``sum(n_rows)`` and
+    ``bit_xor(checksum)`` (XOR of per-partition XORs IS the global XOR).
+    A missing, truncated, or corrupted snapshot partition changes both.
+    Returns True when no lineage table exists (pre-lineage checkpoints
+    stay resumable).
+    """
+    if iteration is None:
+        latest = _latest_snapshot(checkpoint_dir)
+        if latest is None:
+            return True
+        iteration = latest[0]
+    lineage_path = os.path.join(checkpoint_dir, "lineage")
+    if not os.path.isdir(lineage_path):
+        return True
+    lin = (
+        spark.read.parquet(lineage_path)
+        .where(F.col("iteration") == iteration)
+        .agg(
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+            F.coalesce(F.bit_xor("checksum"), F.lit(0)).alias("h"),
+        )
+        .collect()[0]
+    )
+    try:
+        snap = spark.read.parquet(os.path.join(checkpoint_dir, f"iter={iteration:04d}"))
+        n, h = _checksum(snap)
+    except Exception:
+        # unreadable snapshot (all part files gone, corrupt footer, ...)
+        # is the strongest possible lineage mismatch
+        return False
+    return (n, h) == (int(lin["n"]), int(lin["h"]))
+
+
+def _snapshots_desc(checkpoint_dir: str) -> list[tuple[int, str]]:
+    """(iteration, path) for every stored snapshot, newest first."""
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    iters = sorted(
+        (d for d in os.listdir(checkpoint_dir) if d.startswith("iter=") and not d.endswith("_tmp")),
+        reverse=True,
+    )
+    return [(int(d.split("=")[1]), os.path.join(checkpoint_dir, d)) for d in iters]
 
 
 def _latest_snapshot(checkpoint_dir: str) -> tuple[int, str] | None:
-    if not os.path.isdir(checkpoint_dir):
-        return None
-    iters = sorted(
-        d for d in os.listdir(checkpoint_dir) if d.startswith("iter=") and not d.endswith("_tmp")
-    )
-    if not iters:
-        return None
-    last = iters[-1]
-    return int(last.split("=")[1]), os.path.join(checkpoint_dir, last)
+    snaps = _snapshots_desc(checkpoint_dir)
+    return snaps[0] if snaps else None
 
 
 def clusters_with_singletons(all_ids: DataFrame, cc: DataFrame, id_col: str = "conv_id") -> DataFrame:

@@ -19,8 +19,11 @@ public synchronous-smoke pattern), no external broker needed.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dedupe_spark import schemas
 from dedupe_spark.operators.normalize import norm_text
@@ -155,3 +158,73 @@ def stream_register_turns(
     if synchronous:
         q.awaitTermination()
     return q
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the Structured Streaming analog of the
+    batch lag + running-sum sessionize (``q42``), with identical
+    semantics: a gap > ``gap_ms`` between consecutive events of a user
+    opens a new session; session indices are 1-based per user.
+
+    State per user is two longs — (ts of the last event seen, current
+    session index) — so state size is O(users), independent of event
+    volume; this is what lets session numbering continue seamlessly
+    across micro-batches. Inside a batch the computation is vectorized
+    numpy over the whole group (diff + cumsum), no per-row Python.
+
+    Events must arrive in non-decreasing event-time order per user
+    *across* micro-batches (within a batch any order is fine — the group
+    is sorted once). Out-of-order delivery needs the watermarked window
+    operators instead; this operator is the low-latency ordered-ingest
+    path, e.g. tailing an append-only event log partitioned by arrival
+    time.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, stream.schema[user_col].dataType, True),
+            T.StructField(id_col, stream.schema[id_col].dataType, True),
+            T.StructField("session_idx", T.LongType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_ms", T.LongType(), True),
+            T.StructField("cur_idx", T.LongType(), True),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        ms = (pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1_000_000).to_numpy()
+        last_ms, cur_idx = state.get if state.exists else (None, 0)
+        newflag = np.empty(len(ms), dtype=np.int64)
+        newflag[0] = 1 if last_ms is None else int(ms[0] - last_ms > gap_ms)
+        newflag[1:] = (ms[1:] - ms[:-1] > gap_ms).astype(np.int64)
+        sess = cur_idx + np.cumsum(newflag)
+        state.update((int(ms[-1]), int(sess[-1])))
+        yield pd.DataFrame(
+            {
+                user_col: pdf[user_col].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
+                "session_idx": sess,
+            }
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

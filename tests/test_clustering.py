@@ -59,3 +59,57 @@ def test_checkpoint_resume(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(d1, "metrics"))
+
+
+def test_per_partition_lineage_verifies(spark, tmp_path):
+    from dedupe_spark.operators.clustering import verify_snapshot_lineage
+
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)]
+    d1 = str(tmp_path / "cc_lin")
+    connected_components(_edges(spark, pairs), checkpoint_dir=d1)
+
+    lineage = spark.read.parquet(f"{d1}/lineage")
+    metrics = spark.read.parquet(f"{d1}/metrics")
+    iters = sorted(r["iteration"] for r in metrics.select("iteration").collect())
+    assert iters  # at least one checkpointed round
+    # lineage rows exist per iteration and fold (sum, xor) to the metrics row
+    for it in iters:
+        m = metrics.where(F.col("iteration") == it).collect()[0]
+        f = (
+            lineage.where(F.col("iteration") == it)
+            .agg(
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
+                F.coalesce(F.bit_xor("checksum"), F.lit(0)).alias("h"),
+            )
+            .collect()[0]
+        )
+        assert (int(f["n"]), int(f["h"])) == (int(m["n_edges"]), int(m["checksum"]))
+        assert verify_snapshot_lineage(spark, d1, it)
+
+
+def test_resume_skips_torn_snapshot(spark, tmp_path):
+    """A snapshot whose partitions don't match its lineage (torn write)
+    must not be the resume point — resume falls back to the newest
+    verified iteration and still converges to the same clusters."""
+    import os
+
+    from dedupe_spark.operators.clustering import verify_snapshot_lineage
+
+    pairs = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(12)] + [("m0", "m1"), ("m1", "m2")]
+    e = _edges(spark, pairs)
+    d1 = str(tmp_path / "cc_torn")
+    full = _assign(connected_components(e, checkpoint_dir=d1))
+
+    snaps = sorted(d for d in os.listdir(d1) if d.startswith("iter="))
+    assert len(snaps) >= 2, "fixture must produce multiple checkpointed rounds"
+    # tear the newest snapshot: drop its parquet part files but keep its
+    # lineage rows — exactly what a crash mid-write leaves behind
+    torn = os.path.join(d1, snaps[-1])
+    for f in os.listdir(torn):
+        if f.startswith("part-"):
+            os.remove(os.path.join(torn, f))
+    it_torn = int(snaps[-1].split("=")[1])
+    assert not verify_snapshot_lineage(spark, d1, it_torn)
+
+    resumed = _assign(connected_components(e, checkpoint_dir=d1, resume=True))
+    assert resumed == full

@@ -128,3 +128,75 @@ def test_streaming_windowed_metrics(spark, stream_dir):
             assert r["n_turns"] >= r["n_convs"] >= 0
     finally:
         q.stop()
+
+
+def test_stream_sessionize_state_spans_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: two time-ordered files
+    streamed one per micro-batch produce EXACTLY the batch lag+cumsum
+    session assignment — the (last_ts, session_idx) state must carry a
+    user's numbering across the batch boundary."""
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from dedupe_spark.streaming.dedupe_stream import stream_sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").persist()
+    # split at the global time median: per-user event-time order is
+    # preserved across micro-batches (the operator's documented contract)
+    cut = ev.selectExpr("percentile(unix_millis(cast(ts as timestamp)), 0.5) p").collect()[0]["p"]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    early = ev.where(F.unix_millis(F.col("ts").cast("timestamp")) <= cut)
+    late = ev.where(F.unix_millis(F.col("ts").cast("timestamp")) > cut)
+    early.coalesce(1).write.mode("overwrite").parquet(str(src / "f0_early"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(src / "f1_late"))
+    # the file source orders by modification time; same-second writes
+    # could tie — force early strictly before late
+    now = time.time()
+    for d, t in ((src / "f0_early", now - 60), (src / "f1_late", now)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    sess = stream_sessionize(stream)
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        got = {
+            (r["user_id"], r["event_id"]): r["session_idx"]
+            for r in spark.table("sess_sink").collect()
+        }
+        # batch oracle: q42 semantics
+        w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        gap = ms - F.lag(ms).over(w_lag)
+        new_sess = F.when(gap.isNull() | (gap > 1800000), 1).otherwise(0)
+        want = {
+            (r["user_id"], r["event_id"]): r["session_idx"]
+            for r in ev.select(
+                "user_id",
+                "event_id",
+                F.sum(new_sess)
+                .over(w_lag.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("session_idx"),
+            ).collect()
+        }
+        assert got == want
+        # the split really exercised state: both batches were non-empty
+        assert early.count() > 0 and late.count() > 0
+    finally:
+        spark.catalog.dropTempView("sess_sink")
+        ev.unpersist()
