@@ -46,13 +46,15 @@ def with_dense_id(
     if deps is not None:
         deps.append(ranged)
     # running-sum offsets over the tiny per-partition count table.
-    # partitionBy(lit(0)) routes the O(num_partitions) rows through one
-    # deliberate partition WITHOUT tripping WindowExec's "no partition
-    # defined" warning — the table is bounded by the partition count, so
-    # a single reducer here is by design, not an accident.
+    # partitionBy(pmod(_pid, 1)) routes the O(num_partitions) rows
+    # through one deliberate partition WITHOUT tripping WindowExec's "no
+    # partition defined" warning — a bare lit(0) is constant-folded out
+    # of the partition spec, so the expression must reference a column.
+    # The table is bounded by the partition count; a single reducer here
+    # is by design, not an accident.
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     w_off = (
-        Window.partitionBy(F.lit(0))
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
