@@ -34,22 +34,31 @@ DEFAULT_SEED = 42
 
 
 def shingle_hashes(doc: Column | str, k: int = 3) -> Column:
-    """array<long> of xxhash64 values of token k-shingles — pure JVM exprs.
+    """array<long> of hashes of token k-shingles — pure JVM exprs, O(T).
+
+    Each token is xxhash64'd once, then the k consecutive token hashes of
+    a shingle are folded with chained two-arg xxhash64 via ``zip_with``
+    over shifted slices. The layout matters: a higher-order function's
+    *input arrays* (the slices) are evaluated once per row, while
+    expressions inside the lambda re-evaluate per element — the previous
+    form (``slice(toks, i+1, k)`` + ``concat_ws`` inside a ``transform``
+    lambda) re-ran the whole ``split(doc)`` subtree for every shingle
+    position, O(T^2) string work per row and a measured 7.5x slowdown of
+    the MinHash stage at 346k turns. Here the lambda bodies are O(1)
+    arithmetic on lambda variables only.
 
     For docs with < k tokens the whole doc is the single shingle, so no
     row produces an empty array.
     """
     c = F.col(doc) if isinstance(doc, str) else doc
     toks = F.split(c, " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ),
-    ).otherwise(F.array(F.xxhash64(c)))
-    return grams
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(th)
+    m = n - F.lit(k - 1)  # shingle count when n >= k
+    folded = F.slice(th, 1, m)
+    for j in range(1, k):
+        folded = F.zip_with(folded, F.slice(th, j + 1, m), lambda a, b: F.xxhash64(a, b))
+    return F.when(n >= k, folded).otherwise(F.array(F.xxhash64(c)))
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
