@@ -461,6 +461,24 @@ def q27_token_counts(spark, sf_dir):
     return token_counts(d, "text").select("doc_id", "n_tokens_ws", "n_tokens_bpe_est")
 
 
+def q47_repetition_metrics(spark, sf_dir):
+    """Gopher/MassiveText repetition filters (duplicate-2-gram fraction,
+    top-2-gram fraction, unique-token fraction) — per-row codegen'd array
+    exprs + an explode->aggregate for the top gram (no per-row quadratic
+    scan; shuffle keyed on (doc_id, gram) so hot docs spread)."""
+    from dedupe_spark.operators.text_analysis import repetition_metrics
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_metrics(d, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("uniq_token_frac", 6).alias("uniq_token_frac"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("top_2gram_frac", 6).alias("top_2gram_frac"),
+    )
+
+
 def q28_cc_exact_clusters(spark, sf_dir):
     """Connected components (large-star/small-star) over exact-duplicate
     edges; closed-form oracle because exact-fp components are cliques."""
@@ -852,6 +870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_lang_id": q25_lang_id,
         "q26_quality_scores": q26_quality_scores,
         "q27_token_counts": q27_token_counts,
+        "q47_repetition_metrics": q47_repetition_metrics,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q30_cosine_topk": q30_cosine_topk,
         "q31_embedding_neardup": q31_embedding_neardup,
@@ -1160,6 +1179,34 @@ SELECT doc_id,
        array_length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens_ws,
        ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
 FROM documents
+""",
+        "q47_repetition_metrics": """
+WITH b AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), g AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+              ELSE []::VARCHAR[] END AS grams
+  FROM b
+), top AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, gg, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gg FROM g)
+    GROUP BY doc_id, gg)
+  GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(t)::BIGINT AS n_tokens,
+       round(CASE WHEN len(t) > 0 THEN len(list_distinct(t))::DOUBLE / len(t)
+                  ELSE 0.0 END, 6) AS uniq_token_frac,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+       round(CASE WHEN len(grams) > 0
+                  THEN coalesce(topc, 0)::DOUBLE / len(grams)
+                  ELSE 0.0 END, 6) AS top_2gram_frac
+FROM g LEFT JOIN top USING (doc_id)
 """,
         "q28_cc_exact_clusters": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)

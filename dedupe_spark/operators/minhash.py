@@ -141,15 +141,25 @@ def with_minhash_bands(
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
+    keep_shingles: bool = False,
 ) -> DataFrame:
-    """docs + ``bands`` column (array<string> of LSH keys)."""
+    """docs + ``bands`` column (array<string> of LSH keys).
+
+    ``keep_shingles=True`` additionally keeps ``sh`` — the distinct
+    shingle-hash array — so downstream pair scoring (the same shingle
+    family, scoring.shingle_array) reuses the one computation instead of
+    re-deriving it per join side. Costs ~O(doc tokens)*8 bytes per cached
+    row; the pipeline opts in because its docs table is persisted anyway.
+    """
     sig_udf = make_minhash_udf(num_perm=num_perm, seed=seed)
-    return (
+    out = (
         docs.withColumn("_shingles", shingle_hashes(doc_col, k=k))
         .withColumn("_sig", sig_udf("_shingles"))
         .withColumn("bands", band_keys("_sig", bands=bands, num_perm=num_perm))
-        .drop("_shingles", "_sig")
     )
+    if keep_shingles:
+        out = out.withColumn("sh", F.array_distinct("_shingles"))
+    return out.drop("_shingles", "_sig")
 
 
 def minhash_signature_py(tokens: list[str], k: int = 3, num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED) -> np.ndarray:

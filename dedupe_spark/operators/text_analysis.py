@@ -121,3 +121,78 @@ def document_fingerprint(df: DataFrame, text_col: str = "text", gram: int = 8) -
         ),
     ).otherwise(F.array(F.md5(t)))
     return df.withColumn("doc_fp", F.array_min(grams))
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Emitted per row (all ratios in [0,1], 0.0 for degenerate docs):
+
+    - ``n_tokens``            whitespace token count
+    - ``uniq_token_frac``     |distinct tokens| / |tokens| — low values
+                              mean heavy word repetition
+    - ``dup_2gram_frac``      1 - |distinct 2-grams| / |2-grams| — the
+                              "duplicate n-gram fraction" repetition
+                              filter from the Gopher/MassiveText data
+                              pipeline (Rae et al. 2021, public)
+    - ``top_2gram_frac``      occurrences of the single most frequent
+                              2-gram / |2-grams| — catches boilerplate
+                              loops that unique-fraction misses
+
+    Layout of work: the per-row parts (token split, distinct counts) are
+    pure codegen'd array expressions; the top-2-gram count is an explode
+    -> two-level aggregate (partial map-side combine, shuffle keyed on
+    (doc, gram)) joined back — no per-row quadratic scan, so a hot
+    document costs O(tokens) and the shuffle spreads by (doc_id, gram).
+    The 2-gram array uses the zip_with-over-shifted-slices layout
+    (operators/minhash.py:shingle_hashes) so lambda bodies stay O(1).
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n = F.size(toks)
+    m = n - F.lit(1)  # 2-gram count when n >= 2
+    grams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = (
+        df.withColumn("_toks", toks)
+        .withColumn("_grams", grams)
+        .withColumn("n_tokens", F.size("_toks").cast("long"))
+        .withColumn(
+            "uniq_token_frac",
+            F.when(
+                F.size("_toks") > 0,
+                F.size(F.array_distinct("_toks")) / F.size("_toks"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_2gram_frac",
+            F.when(
+                F.size("_grams") > 0,
+                F.lit(1.0) - F.size(F.array_distinct("_grams")) / F.size("_grams"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    top = (
+        base.select(id_col, F.explode("_grams").alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"))
+    )
+    return (
+        base.join(top, id_col, "left")
+        .withColumn(
+            "top_2gram_frac",
+            F.when(
+                F.size("_grams") > 0, F.col("_top") / F.size("_grams")
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_toks", "_grams", "_top")
+    )

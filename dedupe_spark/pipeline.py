@@ -107,14 +107,21 @@ def run(
         dyn = minhash.with_minhash_bands(
             docs.where(~is_exact_only),
             "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed,
+            keep_shingles=True,
         )
-        stat = docs.where(is_exact_only).withColumn(
-            "bands", F.array().cast("array<string>")
+        # exact-only docs never reach LSH blocking (empty band set) so
+        # their shingle array is never read — an empty placeholder keeps
+        # the union schema aligned without paying for shingles
+        stat = (
+            docs.where(is_exact_only)
+            .withColumn("bands", F.array().cast("array<string>"))
+            .withColumn("sh", F.array().cast("array<long>"))
         )
         docs = dyn.unionByName(stat)
     else:
         docs = minhash.with_minhash_bands(
-            docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed
+            docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed,
+            keep_shingles=True,
         )
     # the doc table is reused by blocking AND scoring — cache it once
     docs = docs.persist()
@@ -150,9 +157,10 @@ def run(
     # 5. verification scoring (cheap -> expensive)
     scored = scoring.score_pairs(
         cands,
-        docs.select("conv_id", "doc", "doc_len"),
+        docs.select("conv_id", "doc", "doc_len", "sh"),
         min_len_ratio=cfg.min_len_ratio,
         decider=cfg.decider,
+        sh_col="sh",
     )
     sim_edges = scored.where("is_dup").select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")

@@ -55,3 +55,46 @@ def test_document_fingerprint_properties(spark, text_df):
     same = text_df.withColumn("doc_id", F.col("doc_id") + 100)
     fp3 = {r["doc_id"]: r["doc_fp"] for r in document_fingerprint(same).collect()}
     assert fp3[101] == fp1[1]
+
+
+def test_repetition_metrics(spark):
+    from dedupe_spark.operators.text_analysis import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # 6 toks {a,b}; grams: ab,ba,ab,ba,ab -> top ab=3/5
+            (2, "x y z w"),              # all unique
+            (3, "q q q q"),              # one token repeated
+            (4, "solo"),                 # single token: no grams
+            (5, ""),                     # degenerate
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert abs(r1["uniq_token_frac"] - 2 / 6) < 1e-9
+    assert abs(r1["dup_2gram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert abs(r1["top_2gram_frac"] - 3 / 5) < 1e-9
+
+    r2 = rows[2]
+    assert r2["uniq_token_frac"] == 1.0
+    assert r2["dup_2gram_frac"] == 0.0
+    assert abs(r2["top_2gram_frac"] - 1 / 3) < 1e-9  # every gram unique, top=1 of 3
+
+    r3 = rows[3]
+    assert abs(r3["uniq_token_frac"] - 1 / 4) < 1e-9
+    assert abs(r3["dup_2gram_frac"] - (1 - 1 / 3)) < 1e-9
+    assert r3["top_2gram_frac"] == 1.0  # "q q" is every gram
+
+    r4 = rows[4]
+    assert r4["n_tokens"] == 1
+    assert r4["uniq_token_frac"] == 1.0
+    assert r4["dup_2gram_frac"] == 0.0 and r4["top_2gram_frac"] == 0.0
+
+    # Spark split('', '\s+') yields [''] — one empty token, no grams;
+    # matches the DuckDB oracle's regexp_split_to_array behavior
+    r5 = rows[5]
+    assert r5["n_tokens"] == 1
+    assert r5["dup_2gram_frac"] == 0.0 and r5["top_2gram_frac"] == 0.0
