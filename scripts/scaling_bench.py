@@ -29,8 +29,11 @@ from dedupe_spark import fixtures, pipeline
 
 cpus = int(sys.argv[1])
 n_conv = int(sys.argv[2])
+# partitions-per-core held constant across levels (4x cores -> 4x
+# partitions), the config a real N- vs 4N-executor cluster would use;
+# a fixed count starves the wide level of load-balancing slack
 spark = build_session(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(4 * cpus, 8))
 tr = fixtures.transcripts(spark, n_conv=n_conv).persist()
 n_turns = tr.count()
 # warm the python workers + JIT once so the measured runs are steady-state;
