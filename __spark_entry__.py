@@ -369,7 +369,10 @@ def q21_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH candidate pairs (md5-string permutations, oracle-exact)."""
     from dedupe_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: the gram explode feeds a groupBy exchange immediately,
+    # so the heavy per-gram work is already post-shuffle parallel; the
+    # extra repartition measured 20% slower steady-state at sf0.1
+    d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", num_perm=12, rows_per_band=2)
 
 
@@ -380,7 +383,8 @@ def q22_ngram_jaccard_pairs(spark, sf_dir):
     from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
 
     release_query_caches()
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: same explode-then-shuffle shape as q21 (measured faster)
+    d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5, deps=_QUERY_DEPS)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -525,7 +529,9 @@ def q33_aac_policy_keys(spark, sf_dir):
     dispatch has an exact ANSI-SQL oracle."""
     from dedupe_spark.operators.dedup import minhash_band_keys_sql, normalize_expr
 
-    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    # no _spread: both branches explode into aggregations (post-shuffle
+    # parallel already); the repartition measured slightly slower
+    d = _t(spark, sf_dir, "documents")
     exact_keys = d.where(F.col("source") == "src0").select(
         F.col("doc_id").alias("id"),
         F.concat(F.lit("x:"), F.md5(normalize_expr(F.col("text")))).alias("band_key"),
