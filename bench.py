@@ -1,11 +1,25 @@
 #!/usr/bin/env python
 """Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line.
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The FINAL stdout line is one compact JSON object (headline total +
+per-query steady-state minima only) sized to fit the driver's tail
+capture — round 3's line with inlined extras outgrew it and the round
+lost its machine-readable timings. Everything else (per-query run
+arrays, cold times, row counts, the measurement protocol) is written to
+BENCH_EXTRAS.json next to this script.
+
+Protocol (also recorded in the sidecar): every query runs >=2 times
+(>=3 when min > 5s) with spark.catalog.clearCache() + query-cache
+release between runs, so each run recomputes the full plan; reported
+timing = min across runs (robust to this VM's hypervisor-steal stalls,
+which vary identical runs 3-6x). Run 1 pays JVM codegen; cold times are
+kept per-query in the sidecar's run arrays.
 
 Covers the flagship entity-resolution pipeline (over the deterministic
-transcript fixture, sized by SPARK_GRAFT_BENCH_CONVS) plus the headline
-operators over the driver-generated sf tables. Scaling evidence
-(local[8] vs local[32]) is produced separately by scripts/scaling_bench.py
+transcript fixture, sized by SPARK_GRAFT_BENCH_CONVS) plus every
+queries() operator over the driver-generated sf tables. Scaling evidence
+(N vs 4N cores) is produced separately by scripts/scaling_bench.py
 and recorded in BASELINE.md.
 """
 
@@ -43,7 +57,8 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict = {}
+    run_arrays: dict[str, list[float]] = {}
 
     # --- flagship: full record-linkage pipeline over transcripts ---
     # runs converge as the JVM JIT-compiles the generated code (measured:
@@ -68,7 +83,7 @@ def main() -> None:
     pipe_sec = min(run_secs)
     timings["pipeline_entity_resolution"] = round(pipe_sec, 2)
     extras["pipeline_cold_sec"] = run_secs[0]
-    extras["pipeline_run_secs"] = run_secs
+    run_arrays["pipeline_entity_resolution"] = run_secs
     extras["pipeline_turns"] = n_turns
     extras["pipeline_turns_per_sec"] = round(n_turns / pipe_sec, 1)
     extras["pipeline_clusters"] = n_clusters
@@ -100,10 +115,26 @@ def main() -> None:
         spark.catalog.clearCache()
         entrymod.release_query_caches()
         timings[name] = round(min(runs), 2)
+        run_arrays[name] = [round(r, 2) for r in runs]
         extras[f"{name}_cold_sec"] = round(cold, 2)
         extras[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 2)
+    sidecar = {
+        "protocol": (
+            "each query: >=2 full recomputes (3rd when min>5s), "
+            "clearCache + release_query_caches between runs; reported = min; "
+            "run_arrays[q][0] is the cold (codegen-paying) run"
+        ),
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "headline_total_sec": total,
+        "run_arrays": run_arrays,
+        "extras": extras,
+    }
+    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json")
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
     out = {
         "metric": "headline_total",
         "value": total,
@@ -111,10 +142,12 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
-        "extras": extras,
+        "extras_file": "BENCH_EXTRAS.json",
     }
-    print(json.dumps(out))
     spark.stop()
+    # the compact line is printed LAST, after spark.stop(), so no late
+    # JVM output can land below it in the driver's tail capture
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

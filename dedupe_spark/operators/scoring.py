@@ -81,9 +81,11 @@ def _jaro(s: str, t: str) -> float:
     if ls == 0 or lt == 0:
         return 0.0
     window = max(ls, lt) // 2 - 1
-    sa = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
-    ta = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
-    ls, lt = len(sa), len(ta)
+    # codepoint arrays (utf-32-le = one uint32 per char): CHARACTER
+    # semantics, matching DuckDB's jaro_winkler_similarity on non-ASCII
+    # (utf-8 bytes diverge on any multibyte char — ADVICE r3)
+    sa = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    ta = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
     t_taken = np.zeros(lt, dtype=bool)
     s_match_idx = []
     t_match_idx = []
@@ -118,41 +120,46 @@ def jaro_winkler_py(s: str, t: str, p: float = 0.1, max_prefix: int = 4) -> floa
     return j + prefix * p * (1.0 - j)
 
 
-JW_PREFIX_CAP = 256  # bytes considered by the batched Jaro-Winkler
+JW_PREFIX_CAP = 256  # characters considered by the batched Jaro-Winkler
 JW_ACCEPT = 0.90  # ambiguous-band accept threshold for decider="jaro_winkler"
 
 
 def jaro_winkler_batch(
-    a_bytes: list[bytes], b_bytes: list[bytes], p: float = 0.1, max_prefix: int = 4
+    a_strs: list[str], b_strs: list[str], p: float = 0.1, max_prefix: int = 4
 ) -> np.ndarray:
-    """Batch-vectorized Jaro-Winkler over padded byte matrices.
+    """Batch-vectorized Jaro-Winkler over padded codepoint matrices.
 
     The north star names "batched Jaro-Winkler ... (no per-row Python)":
-    the whole batch is packed into (B, L) uint8 matrices and the Jaro
-    greedy matching runs as a loop over the L *character positions*, each
-    iteration a numpy mask/scatter over every pair at once — the same
-    batch-vectorization style as the MinHash signature
-    (operators/minhash.py np.minimum.reduceat). Per-batch cost is
-    O(B * L^2) byte-ops with numpy constants; L is capped by the caller
-    (JW_PREFIX_CAP), so per-pair cost is bounded like lev_ratio_expr's.
+    the whole batch is packed into (B, L) uint32 matrices (utf-32-le =
+    one codepoint per cell, so the units are CHARACTERS — identical to
+    DuckDB's char-level jaro_winkler_similarity on non-ASCII text,
+    ADVICE r3) and the Jaro greedy matching runs as a loop over the L
+    character positions, each iteration a numpy mask/scatter over every
+    pair at once — the same batch-vectorization style as the MinHash
+    signature (operators/minhash.py np.minimum.reduceat). Per-batch cost
+    is O(B * L^2) word-ops with numpy constants; L is capped by the
+    caller (JW_PREFIX_CAP), so per-pair cost is bounded like
+    lev_ratio_expr's.
 
     Semantics match ``jaro_winkler_py`` exactly (asserted by
-    tests/test_scoring.py against random + adversarial cases).
+    tests/test_scoring.py against random + adversarial + non-ASCII cases).
     """
-    B = len(a_bytes)
+    B = len(a_strs)
     if B == 0:
         return np.zeros(0)
-    L = max(1, max((len(x) for x in (*a_bytes, *b_bytes)), default=1))
-    sa = np.zeros((B, L), dtype=np.uint8)
-    ta = np.zeros((B, L), dtype=np.uint8)
+    a_cp = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in a_strs]
+    b_cp = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in b_strs]
+    L = max(1, max((len(x) for x in (*a_cp, *b_cp)), default=1))
+    sa = np.zeros((B, L), dtype=np.uint32)
+    ta = np.zeros((B, L), dtype=np.uint32)
     ls = np.zeros(B, dtype=np.int64)
     lt = np.zeros(B, dtype=np.int64)
-    for i, bs in enumerate(a_bytes):  # padding memcpy only; compute is batched
-        ls[i] = len(bs)
-        sa[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
-    for i, bs in enumerate(b_bytes):
-        lt[i] = len(bs)
-        ta[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+    for i, cp in enumerate(a_cp):  # padding memcpy only; compute is batched
+        ls[i] = len(cp)
+        sa[i, : len(cp)] = cp
+    for i, cp in enumerate(b_cp):
+        lt[i] = len(cp)
+        ta[i, : len(cp)] = cp
 
     eq = (ls == lt) & (sa == ta).all(axis=1)
     nz = (ls > 0) & (lt > 0)
@@ -162,7 +169,7 @@ def jaro_winkler_batch(
     # match at position 0 anyway)
     w = np.maximum(np.maximum(ls, lt) // 2 - 1, 0)
     taken = np.zeros((B, L), dtype=bool)
-    s_buf = np.zeros((B, L), dtype=np.uint8)
+    s_buf = np.zeros((B, L), dtype=np.uint32)
     j_buf = np.full((B, L), L, dtype=np.int64)
     cnt = np.zeros(B, dtype=np.int64)
     jidx = np.arange(L)[None, :]
@@ -189,7 +196,7 @@ def jaro_winkler_batch(
         cnt[rows] += 1
     # transpositions: t-side matched chars in t order vs s order
     j_sorted = np.sort(j_buf, axis=1)  # unmatched sentinel L sorts last
-    ta_ext = np.concatenate([ta, np.zeros((B, 1), dtype=np.uint8)], axis=1)
+    ta_ext = np.concatenate([ta, np.zeros((B, 1), dtype=np.uint32)], axis=1)
     t_seq = np.take_along_axis(ta_ext, j_sorted, axis=1)
     matched = np.arange(L)[None, :] < cnt[:, None]
     trans = ((s_buf != t_seq) & matched).sum(axis=1) // 2
@@ -213,12 +220,16 @@ def jaro_winkler_batch(
 
 def jaro_winkler_udf(prefix_cap: int = JW_PREFIX_CAP):
     """Arrow-batched Jaro-Winkler similarity pandas UDF (doc_a, doc_b) ->
-    double; the whole batch computes through ``jaro_winkler_batch``."""
+    double; the whole batch computes through ``jaro_winkler_batch``.
+    ``prefix_cap`` truncates to CHARACTERS before comparison — the same
+    units DuckDB's ``substr(text, 1, N)`` + ``jaro_winkler_similarity``
+    oracle compares (a byte truncation could split a codepoint and
+    diverge on any multibyte text — ADVICE r3)."""
 
     @F.pandas_udf("double")
     def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        ab = [s.encode("utf-8", "replace")[:prefix_cap] for s in a.fillna("")]
-        bb = [s.encode("utf-8", "replace")[:prefix_cap] for s in b.fillna("")]
+        ab = [s[:prefix_cap] for s in a.fillna("")]
+        bb = [s[:prefix_cap] for s in b.fillna("")]
         return pd.Series(jaro_winkler_batch(ab, bb))
 
     return jw
@@ -258,6 +269,7 @@ def score_pairs(
     k: int = 3,
     decider: str = "levenshtein",
     sh_col: str | None = None,
+    deps: list | None = None,
 ) -> DataFrame:
     """Attach similarity scores to candidate pairs.
 
@@ -279,7 +291,15 @@ def score_pairs(
       * ``"jaro_winkler"``: the batch-vectorized Arrow JW UDF (the north
         star's named scorer). Only the ambiguous band reaches the UDF —
         the plan splits band/non-band and unions, so the Arrow crossing
-        never sees unambiguous pairs.
+        never sees unambiguous pairs. The scored frame is persisted
+        across the two branches (registered in ``deps`` for the caller
+        to release) so the pairs-join + jaccard subtree computes once,
+        not once per branch; NULL-jaccard rows route to the cheap branch
+        instead of failing both predicates and vanishing.
+
+    ``deps``: caches created here are appended for the caller to
+    unpersist after its final action (the pipeline passes its
+    ``persisted`` list).
     """
     # The shingle array is computed HERE, once per doc row, below the
     # join: after the join it is a materialized attribute, so the (large)
@@ -319,10 +339,15 @@ def score_pairs(
     )
     if decider == "jaro_winkler":
         accept = JW_ACCEPT
+        if deps is not None:
+            jacc = jacc.persist()
+            deps.append(jacc)
         amb = jacc.where(in_band).withColumn(
             "lev_ratio", jaro_winkler_udf()(F.col("doc_a"), F.col("doc_b"))
         )
-        rest = jacc.where(~in_band).withColumn("lev_ratio", F.lit(-1.0))
+        rest = jacc.where(~in_band | F.col("jaccard").isNull()).withColumn(
+            "lev_ratio", F.lit(-1.0)
+        )
         scored = amb.unionByName(rest)
     else:
         accept = LEV_ACCEPT

@@ -74,6 +74,7 @@ def bucketed_topk(
     k: int = 10,
     planes: int = 3,
     multiprobe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only vectors in the query's sign bucket.
 
@@ -88,18 +89,24 @@ def bucketed_topk(
     1+planes buckets per query (still partition-pruned at scale: the
     probe list is explicit bucket keys, never a scan). Each vector lives
     in exactly one bucket, so probes never duplicate a neighbor.
+
+    ``dim``: embedding dimensionality (defaults to the testdata tables';
+    the hyperplane normals must span exactly the vector length).
     """
+    from dedupe_spark.operators.dedup import EMBEDDING_DIM
+
+    dim = dim or EMBEDDING_DIM
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
         _norm(F.col(vec_col)).alias("nv"),
-        _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        _sign_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         _norm(F.col(vec_col)).alias("nq"),
-        _sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        _sign_bucket(F.col(vec_col), planes, dim=dim).alias("bucket"),
     )
     if multiprobe:
         probes = F.array(

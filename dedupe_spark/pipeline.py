@@ -161,6 +161,7 @@ def run(
         min_len_ratio=cfg.min_len_ratio,
         decider=cfg.decider,
         sh_col="sh",
+        deps=persisted,
     )
     sim_edges = scored.where("is_dup").select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -170,8 +171,20 @@ def run(
     edges = exact_edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).union(sim_edges)
+    # durable-by-default iteration state: when this run has a catalog,
+    # CC snapshots land under its warehouse — localCheckpoint state dies
+    # with an executor at real scale, a warehouse parquet snapshot doesn't
+    # (the loop still uses localCheckpoint for lineage truncation; the
+    # warehouse snapshots are the resume/verify points)
+    checkpoint_dir = cfg.checkpoint_dir
+    if checkpoint_dir is None and catalog is not None:
+        warehouse = getattr(catalog, "warehouse", None)
+        if warehouse:
+            import os
+
+            checkpoint_dir = os.path.join(warehouse, "_cc_checkpoints")
     cc = clustering.connected_components(
-        edges, checkpoint_dir=cfg.checkpoint_dir, resume=cfg.resume
+        edges, checkpoint_dir=checkpoint_dir, resume=cfg.resume
     )
     clusters = clustering.clusters_with_singletons(docs.select("conv_id"), cc)
 
@@ -232,8 +245,16 @@ def _metrics(docs, blocks, cands, scored, clusters, bloom_stats=None, cfg=None) 
 
 def commit(result: PipelineResult, catalog: SnapshotCatalog) -> None:
     """Atomic publish of all output tables (reference: splice + rename,
-    src/deduplication.cpp:612-640)."""
-    catalog.write("unique_turns", result.unique_turns)
+    src/deduplication.cpp:612-640). The unique-turn registry is laid out
+    bucket-partitioned on fp — the SURVEY §1.2 mapping of HashDB's
+    bucketed disk KV (src/HashDB.cpp:339-450) — so registry probes
+    (incremental/streaming ingest) prune to the buckets they touch
+    instead of rescanning the whole table."""
+    catalog.write(
+        "unique_turns",
+        lifecycle.with_fp_bucket(result.unique_turns),
+        partition_by=["fp_bucket"],
+    )
     catalog.write("membership", result.membership)
     catalog.write("clusters", result.clusters)
     catalog.write("edges", result.edges)

@@ -96,10 +96,21 @@ def stream_register_turns(
          including the persisted-bloom warm path when ``bloom_path`` is
          given (batch N+1 loads the filter batch N saved instead of
          rebuilding over the registry);
-      3. commit both tables as new snapshots (atomic pointer swap), so a
-         crash between batches resumes from the last good registry, and
+      3. commit **only the batch's deltas** with ``mode="append"``
+         snapshots: per-batch write cost is O(batch rows), independent
+         of registry size — the reference splices only new data onto the
+         package (src/deduplication.cpp:612-637); rewriting the merged
+         tables every micro-batch would be O(registry) write
+         amplification, a scale-killer at 10^12 turns (VERDICT r3). A
+         crash between batches resumes from the last good snapshot, and
          Structured Streaming's checkpoint guarantees each input file is
          processed once.
+
+    At-least-once re-delivery is guarded at **(conv_id, turn_idx)**
+    granularity, not conv_id: a conversation whose turns span two input
+    files must register the second file's turns (a conv-level anti-join
+    silently drops them — ADVICE r3), while re-delivered rows are
+    suppressed exactly.
 
     Returns the StreamingQuery (already drained when ``synchronous``).
     """
@@ -109,27 +120,39 @@ def stream_register_turns(
     from dedupe_spark.operators.lifecycle import (
         register_turns,
         register_turns_incremental,
+        with_fp_bucket,
     )
 
     stream = read_transcript_stream(spark, input_path, max_files=max_files)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if catalog.exists("unique_turns"):
-            u = catalog.read("unique_turns")
-            m = catalog.read("membership")
-            # foreachBatch is at-least-once: a crash after the catalog
-            # commit but before the stream checkpoint re-delivers the
-            # batch. Registration is idempotent for unique_turns (known
-            # fps add nothing) but would append duplicate membership
-            # rows — drop already-registered conversations up front
-            # (exactly-once at conversation granularity).
-            batch_df = batch_df.join(
-                m.select("conv_id").distinct(), "conv_id", "left_anti"
+        if not catalog.exists("unique_turns"):
+            # first batch bootstraps the tables (snapshot 1); the
+            # registry is laid out bucket-partitioned on fp (SURVEY §1.2
+            # HashDB mapping) so later probes prune to their buckets
+            u0, m0 = register_turns(batch_df)
+            catalog.write(
+                "unique_turns", with_fp_bucket(u0),
+                partition_by=["fp_bucket"], summary={"batch_id": batch_id},
             )
-            if batch_df.limit(1).count() == 0:
-                return  # full re-delivery: nothing new, no snapshot churn
-        else:
-            u, m = register_turns(batch_df.where(F.lit(False)))
+            catalog.write("membership", m0, summary={"batch_id": batch_id})
+            return
+        u = catalog.read("unique_turns")
+        m = catalog.read("membership")
+        # foreachBatch is at-least-once: a crash after the catalog
+        # commit but before the stream checkpoint re-delivers the
+        # batch. Registration is idempotent for unique_turns (known
+        # fps add nothing) but would append duplicate membership
+        # rows — drop already-registered (conv_id, turn_idx) rows up
+        # front (exactly-once at turn granularity; new turns of a
+        # known conversation still register).
+        batch_df = batch_df.join(
+            m.select("conv_id", "turn_idx").distinct(),
+            ["conv_id", "turn_idx"],
+            "left_anti",
+        )
+        if batch_df.limit(1).count() == 0:
+            return  # full re-delivery: nothing new, no snapshot churn
         bloom = None
         if bloom_path and os.path.exists(bloom_path):
             bloom = Bloom.load(bloom_path)
@@ -141,13 +164,24 @@ def stream_register_turns(
             if bloom.fill_ratio > 0.5:
                 bloom = None
         state: dict = {}
-        u2, m2 = register_turns_incremental(
-            batch_df, u, m, registry_bloom=bloom, state=state
-        )
-        # two-table commit: membership last — readers joining membership
-        # to unique_turns never see a block_id the registry lacks
-        catalog.write("unique_turns", u2, summary={"batch_id": batch_id})
-        catalog.write("membership", m2, summary={"batch_id": batch_id})
+        register_turns_incremental(batch_df, u, m, registry_bloom=bloom, state=state)
+        # O(batch) append commits: only the delta rows are written.
+        # unique_turns first — readers joining membership to unique_turns
+        # never see a block_id the registry lacks. new_unique is cached
+        # across the two commits (the membership delta joins against the
+        # merged registry, which embeds the same new_unique subtree).
+        new_unique = state["new_unique"].persist()
+        try:
+            catalog.write(
+                "unique_turns", with_fp_bucket(new_unique), mode="append",
+                partition_by=["fp_bucket"], summary={"batch_id": batch_id},
+            )
+            catalog.write(
+                "membership", state["new_membership"], mode="append",
+                summary={"batch_id": batch_id},
+            )
+        finally:
+            new_unique.unpersist()
         if bloom_path and "bloom" in state:
             state["bloom"].save(bloom_path)
 

@@ -28,6 +28,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=80)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--warehouse", default=None,
+                    help="SnapshotCatalog warehouse dir; commits + re-reads "
+                         "snapshots across the real executor boundary")
     args = ap.parse_args()
 
     # master comes from spark-submit; build_session must not override it
@@ -43,14 +46,38 @@ def main() -> None:
         extra_conf={"spark.executor.memory": "2g"},
     )
     tr = fixtures.transcripts(spark, n_conv=args.convs)
-    res = pipeline.run(tr)
+    catalog = None
+    if args.warehouse:
+        from dedupe_spark.catalog import SnapshotCatalog
+
+        catalog = SnapshotCatalog(spark, args.warehouse)
+    res = pipeline.run(tr, catalog=catalog)
     rows = sorted(
         (r["conv_id"], r["cluster_id"]) for r in res.clusters.collect()
     )
     n_execs = spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
     res.release()
+    out = {"clusters": rows, "n_executors": n_execs}
+    if catalog is not None:
+        # re-read the committed snapshots (executors wrote the parquet,
+        # the driver swapped the pointer): the round-trip must reproduce
+        # the in-memory result — pipeline.commit under a REAL multi-JVM
+        # cluster, not just local threads (VERDICT r3 task 7)
+        from dedupe_spark.operators.lifecycle import reconstruct
+
+        committed = sorted(
+            (r["conv_id"], r["cluster_id"])
+            for r in catalog.read("clusters").collect()
+        )
+        rebuilt = reconstruct(
+            catalog.read("membership"), catalog.read("unique_turns")
+        )
+        out["committed_clusters_equal"] = committed == rows
+        out["registry_roundtrip_rows"] = rebuilt.count()
+        out["input_rows"] = tr.count()
+        out["registry_partitioned"] = "fp_bucket" in catalog.read("unique_turns").columns
     with open(args.out, "w") as f:
-        json.dump({"clusters": rows, "n_executors": n_execs}, f)
+        json.dump(out, f)
     spark.stop()
 
 

@@ -58,6 +58,7 @@ def test_local_cluster_matches_local_mode(spark, tmp_path):
             os.path.join(REPO, "scripts", "cluster_smoke.py"),
             "--convs", str(N_CONVS),
             "--out", out,
+            "--warehouse", str(tmp_path / "wh"),
         ],
         cwd=str(tmp_path),  # NOT the repo root: the package must arrive via --py-files
         env=env,
@@ -70,6 +71,11 @@ def test_local_cluster_matches_local_mode(spark, tmp_path):
         cluster_run = json.load(f)
     # really ran across multiple executor processes (2 workers + driver)
     assert cluster_run["n_executors"] >= 3
+    # catalog snapshots committed and re-read across the process boundary
+    # (pipeline.commit under real executors — VERDICT r3 task 7)
+    assert cluster_run["committed_clusters_equal"]
+    assert cluster_run["registry_roundtrip_rows"] == cluster_run["input_rows"] > 0
+    assert cluster_run["registry_partitioned"]
 
     from dedupe_spark import fixtures, pipeline
 

@@ -113,3 +113,50 @@ def test_resume_skips_torn_snapshot(spark, tmp_path):
 
     resumed = _assign(connected_components(e, checkpoint_dir=d1, resume=True))
     assert resumed == full
+
+
+def test_max_iterations_is_a_failure_mode_not_a_truncation(spark):
+    """SURVEY §7: bound iterations AND fail loudly — a long path graph
+    needs O(log n) alternating-star rounds, so max_iterations=1 must
+    raise instead of silently returning a half-contracted graph."""
+    import pytest
+
+    from dedupe_spark.operators.clustering import ConvergenceError, connected_components
+
+    edges = _edges(spark, [(i, i + 1) for i in range(64)])
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iterations=1).collect()
+
+
+def test_adversarial_edge_set_converges_with_monotone_edges(spark):
+    """Adversarial mix (long path + star + clique + dup/reversed edges):
+    the loop's internal monotone edge-count assertion holds on every
+    iteration (a violation raises ConvergenceError) and the assignment
+    matches the transitive-closure oracle."""
+    def n(i):
+        return f"{i:03d}"
+
+    pairs = (
+        [(n(i), n(i + 1)) for i in range(100, 141)]      # 42-node path
+        + [(n(0), n(i)) for i in range(1, 20)]           # star at 0
+        + [(n(a), n(b)) for a in range(50, 55) for b in range(a + 1, 55)]  # clique
+        + [(n(141), n(140)), (n(19), n(1)), (n(1), n(0))]  # reversed + dup-ish
+    )
+    cc = connected_components(_edges(spark, pairs))
+    got = _assign(cc)
+    assert all(got[n(i)] == n(0) for i in range(0, 20))
+    assert all(got[n(i)] == n(100) for i in range(100, 142))
+    assert all(got[n(i)] == n(50) for i in range(50, 55))
+
+
+def test_resumed_run_equals_fresh_run(spark, tmp_path):
+    """VERDICT r3 task 6 done-criterion: resuming from a mid-run
+    snapshot yields the identical assignment as the uninterrupted run."""
+    pairs = [(i, i + 1) for i in range(60)] + [(200, 201), (201, 202)]
+    fresh = _assign(connected_components(_edges(spark, pairs)))
+    ckpt = str(tmp_path / "cc")
+    _assign(connected_components(_edges(spark, pairs), checkpoint_dir=ckpt))
+    resumed = _assign(
+        connected_components(_edges(spark, pairs), checkpoint_dir=ckpt, resume=True)
+    )
+    assert resumed == fresh

@@ -93,7 +93,45 @@ def test_embedding_cosine_with_buckets_same_result(spark):
     plain = {(r["id_a"], r["id_b"]) for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95).collect()}
     bucketed = {
         (r["id_a"], r["id_b"])
-        for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95, block_planes=2).collect()
+        for r in embedding_cosine_pairs(df, "vec_id", "embedding", threshold=0.95, block_planes=2, dim=4).collect()
     }
     # same-bucket near-dups must be found by the bucketed path too
     assert bucketed == plain
+
+
+def test_chunk_documents_fixed_token_windows(spark):
+    from dedupe_spark.operators.dedup import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "short text"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=32).collect()
+    }
+    # 70 tokens -> 32 + 32 + 6 (tail kept, reference last_block semantics)
+    assert sorted(k[1] for k in rows if k[0] == 1) == [0, 1, 2]
+    assert rows[(1, 0)].split(" ") == [f"w{i}" for i in range(32)]
+    assert rows[(1, 2)].split(" ") == [f"w{i}" for i in range(64, 70)]
+    assert rows[(2, 0)] == "short text"
+    assert rows[(3, 0)] == ""  # empty doc still yields its one chunk
+
+
+def test_chunk_minhash_links_copied_paragraph(spark):
+    """A paragraph shared between two otherwise-disjoint documents links
+    at CHUNK granularity even though the whole-document signatures are
+    dominated by the differing remainder."""
+    from dedupe_spark.operators.dedup import chunk_minhash_pairs
+
+    para = " ".join(f"common{i}" for i in range(32))
+    d1 = para + " " + " ".join(f"left{i}" for i in range(64))
+    d2 = para + " " + " ".join(f"right{i}" for i in range(64))
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in chunk_minhash_pairs(df, "doc_id", "text", chunk_tokens=32).collect()
+    }
+    assert ("1:0", "2:0") in pairs  # the copied chunk collides on every band
+    # the disjoint tails never pair up
+    assert not any(a.endswith(":1") and b.endswith(":2") for a, b in pairs if a[0] != b[0])

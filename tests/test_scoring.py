@@ -13,24 +13,25 @@ from dedupe_spark.operators.scoring import (
 
 
 def test_jaro_winkler_batch_matches_oracle():
-    """The batch-vectorized JW (numpy over padded byte matrices, the
-    decision-path implementation) equals the scalar oracle on random and
-    adversarial ascii inputs."""
+    """The batch-vectorized JW (numpy over padded codepoint matrices, the
+    decision-path implementation) equals the scalar oracle on random,
+    adversarial, and non-ASCII inputs."""
     rng = np.random.default_rng(3)
     alphabet = "abcdefgh "
     cases = [
         ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("abc", "abc"),
         ("abc", "xyz"), ("", "abc"), ("", ""), ("a", "a"), ("a", "b"),
         ("ab", "ba"), ("aaaa", "aaa"), ("prefix shared tail x", "prefix shared tail y"),
+        # multibyte: units must be CHARACTERS (utf-8 bytes would differ)
+        ("über straße", "uber strasse"), ("naïve café", "naive cafe"),
+        ("日本語のテキスト", "日本語のテクスト"), ("ø", "o"), ("日本", "日本"),
     ]
     for _ in range(300):
         n1, n2 = rng.integers(0, 30, size=2)
         s = "".join(rng.choice(list(alphabet), size=n1))
         t = "".join(rng.choice(list(alphabet), size=n2))
         cases.append((s, t))
-    got = jaro_winkler_batch(
-        [s.encode() for s, _ in cases], [t.encode() for _, t in cases]
-    )
+    got = jaro_winkler_batch([s for s, _ in cases], [t for _, t in cases])
     for (s, t), g in zip(cases, got):
         assert g == pytest.approx(jaro_winkler_py(s, t), abs=1e-12), (s, t)
 
@@ -43,17 +44,15 @@ try:
     @given(
         st.lists(
             st.tuples(
-                st.text(alphabet="abcdef 123.!", max_size=40),
-                st.text(alphabet="abcdef 123.!", max_size=40),
+                st.text(alphabet="abcdef 123.!éß日", max_size=40),
+                st.text(alphabet="abcdef 123.!éß日", max_size=40),
             ),
             min_size=1,
             max_size=20,
         )
     )
     def test_jaro_winkler_batch_property(pairs):
-        got = jaro_winkler_batch(
-            [s.encode() for s, _ in pairs], [t.encode() for _, t in pairs]
-        )
+        got = jaro_winkler_batch([s for s, _ in pairs], [t for _, t in pairs])
         for (s, t), g in zip(pairs, got):
             assert g == pytest.approx(jaro_winkler_py(s, t), abs=1e-12)
             assert 0.0 <= g <= 1.0
