@@ -563,6 +563,33 @@ def q34_chunk_minhash_pairs(spark, sf_dir):
     )
 
 
+def q37_dedup_keep_best(spark, sf_dir):
+    """The dedup endgame: exact-dup clusters (the same large-star/
+    small-star CC machinery as the flagship pipeline) -> keep the
+    highest-quality member per cluster (ties -> lowest doc_id) -> report
+    the canonical doc and the chars a training run saves. Keep-best
+    generalizes the reference's keep-first-registered policy
+    (src/deduplication.cpp:1419-1449) with its savings accounting
+    (:1860-1894). Oracle: closed-form min-over-fp clusters + the q26
+    quality formula + the same ranking."""
+    from dedupe_spark.operators.dedup import dedup_keep_best
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_keep_best(d, "doc_id", "text")
+
+
+def q38_corpus_dedup_stats(spark, sf_dir):
+    """package_stat as a query (reference's 'saved/org %' print,
+    src/deduplication.cpp:1860-1894): per-source row counts, distinct
+    normalized fingerprints, duplicate rows, and saved chars under
+    keep-shortest-copy. Two map-side-combinable aggregations — linear
+    at any corpus size."""
+    from dedupe_spark.operators.dedup import corpus_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_dedup_stats(d, "doc_id", "text", by="source")
+
+
 def q36_jaro_winkler_pairs(spark, sf_dir):
     """Batch-vectorized Jaro-Winkler pair scoring (the north star's named
     scorer; operators/scoring.py:jaro_winkler_batch — numpy over padded
@@ -905,6 +932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_bucketed_ann_topk": q35_bucketed_ann_topk,
         "q35b_ann_multiprobe": q35b_ann_multiprobe,
         "q36_jaro_winkler_pairs": q36_jaro_winkler_pairs,
+        "q37_dedup_keep_best": q37_dedup_keep_best,
+        "q38_corpus_dedup_stats": q38_corpus_dedup_stats,
         "q40_event_windows": q40_event_windows,
         "q41_event_dedup": q41_event_dedup,
         "q42_sessionize": q42_sessionize,
@@ -1331,6 +1360,52 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(jaro_winkler_similarity(substr(a.text, 1, 256),
                                      substr(b.text, 1, 256)), 6) AS jw_sim
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""",
+        "q37_dedup_keep_best": f"""
+WITH feat AS (
+  SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp,
+         length(text)::BIGINT AS n_chars,
+         (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / greatest(length(text), 1) AS punct_ratio,
+         ({stop_sum}) / greatest(array_length(regexp_split_to_array(trim(text), '\\s+')), 1) AS stopword_ratio
+  FROM documents
+),
+q AS (
+  SELECT doc_id, fp, n_chars,
+         (CASE WHEN n_chars >= 50 AND n_chars <= 20000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.8 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.0 END) AS quality
+  FROM feat
+),
+c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM q),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id ASC) AS rn FROM c),
+a AS (SELECT cluster_id, count(*)::BIGINT AS n_members,
+             sum(n_chars)::BIGINT AS tot_chars FROM c GROUP BY cluster_id)
+SELECT r.cluster_id, r.doc_id AS kept_doc_id, round(r.quality, 2) AS kept_quality,
+       a.n_members, (a.tot_chars - r.n_chars)::BIGINT AS saved_chars
+FROM r JOIN a USING (cluster_id) WHERE rn = 1
+""",
+        "q38_corpus_dedup_stats": f"""
+WITH f AS (
+  SELECT source, md5({_NORM_SQL.format(c='text')}) AS fp,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+),
+pf AS (
+  SELECT source, fp, count(*)::BIGINT AS n_rows,
+         sum(n_chars)::BIGINT AS org_chars, min(n_chars)::BIGINT AS kept_chars
+  FROM f GROUP BY source, fp
+)
+SELECT source,
+       sum(n_rows)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_unique,
+       (sum(n_rows) - count(*))::BIGINT AS dup_rows,
+       sum(org_chars)::BIGINT AS org_chars,
+       (sum(org_chars) - sum(kept_chars))::BIGINT AS saved_chars,
+       round((sum(org_chars) - sum(kept_chars))::BIGINT
+             / greatest(sum(org_chars)::BIGINT, 1), 6) AS dedup_ratio
+FROM pf GROUP BY source
 """,
         "q35b_ann_multiprobe": f"""
 WITH b AS (

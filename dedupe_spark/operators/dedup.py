@@ -166,6 +166,139 @@ def chunk_minhash_pairs(
     )
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality: DataFrame | None = None,
+    quality_col: str = "quality_score",
+) -> DataFrame:
+    """The dedup endgame a training-data pipeline runs: duplicate
+    clusters -> ONE canonical representative each -> savings accounting.
+
+    The reference keeps the first-registered copy of every block and
+    counts the rest as savings (register_block first-writer-wins,
+    /root/reference/src/deduplication.cpp:1419-1449; savings print
+    :1860-1894). For an LLM corpus the better policy is *keep the best
+    copy*: clusters come from exact-fp connected components (the same
+    large-star/small-star machinery the flagship pipeline uses), the
+    representative is the member with the highest quality score
+    (``quality_features`` composite by default), ties broken by lowest
+    id so selection is deterministic.
+
+    Returns one row per cluster:
+    ``(cluster_id, kept_doc_id, kept_quality, n_members, saved_chars)``
+    where saved_chars is the total text length of the dropped members —
+    the bytes a downstream training run no longer ingests.
+
+    Scale shape: one groupBy for edges, the O(log n) CC loop, one
+    ranking window partitioned by cluster_id (clusters are small — the
+    window never sees a global sort), one aggregation. No all-pairs
+    anywhere; skew is bounded by exact_key_pairs' max_block cap.
+    """
+    from pyspark.sql import Window
+
+    from dedupe_spark.operators.blocking import exact_key_pairs
+    from dedupe_spark.operators.clustering import (
+        clusters_with_singletons,
+        connected_components,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalize_expr(F.col(text_col))).alias("fp"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    if quality is None:
+        from dedupe_spark.operators.text_analysis import quality_features
+
+        quality = quality_features(df, text_col).select(
+            F.col(id_col).alias("doc_id"), F.col(quality_col)
+        )
+    else:
+        quality = quality.select(F.col(id_col).alias("doc_id"), F.col(quality_col))
+
+    edges = exact_key_pairs(base, "doc_id", "fp").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges)
+    clusters = clusters_with_singletons(
+        base.select(F.col("doc_id").alias("conv_id")), cc
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+
+    m = clusters.join(base.select("doc_id", "n_chars"), "doc_id").join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col("doc_id").asc()
+    )
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    totals = m.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"), F.sum("n_chars").alias("tot_chars")
+    )
+    kept = ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.round(quality_col, 2).alias("kept_quality"),
+        F.col("n_chars").alias("kept_chars"),
+    )
+    return kept.join(totals, "cluster_id").select(
+        "cluster_id",
+        "kept_doc_id",
+        "kept_quality",
+        "n_members",
+        (F.col("tot_chars") - F.col("kept_chars")).cast("long").alias("saved_chars"),
+    )
+
+
+def corpus_dedup_stats(df: DataFrame, id_col: str, text_col: str, by: str) -> DataFrame:
+    """Per-group dedup savings statistics — the reference's package_stat
+    print ("saved/org %", /root/reference/src/deduplication.cpp:1860-1894)
+    as a relational query: for each ``by`` group, how many rows, how many
+    distinct normalized fingerprints, and how many chars a dedup pass
+    saves (keeping the SHORTEST copy per fingerprint — min is the
+    deterministic choice; same-fp texts may differ pre-normalization).
+
+    Two map-side-combinable aggregations (per-(by,fp), then per-by); no
+    window, no join against the row set — linear at any corpus size.
+    """
+    per_fp = (
+        df.select(
+            F.col(by).alias("grp"),
+            F.md5(normalize_expr(F.col(text_col))).alias("fp"),
+            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        )
+        .groupBy("grp", "fp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_chars").alias("org_chars"),
+            F.min("n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        per_fp.groupBy("grp")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_unique"),
+            (F.sum("n_rows") - F.count("*")).cast("long").alias("dup_rows"),
+            F.sum("org_chars").cast("long").alias("org_chars"),
+            (F.sum("org_chars") - F.sum("kept_chars")).cast("long").alias("saved_chars"),
+            F.round(
+                (F.sum("org_chars") - F.sum("kept_chars"))
+                / F.greatest(F.sum("org_chars"), F.lit(1)),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .select(
+            F.col("grp").alias(by),
+            "n_docs",
+            "n_unique",
+            "dup_rows",
+            "org_chars",
+            "saved_chars",
+            "dedup_ratio",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
 ) -> DataFrame:

@@ -135,3 +135,62 @@ def test_chunk_minhash_links_copied_paragraph(spark):
     assert ("1:0", "2:0") in pairs  # the copied chunk collides on every band
     # the disjoint tails never pair up
     assert not any(a.endswith(":1") and b.endswith(":2") for a, b in pairs if a[0] != b[0])
+
+
+def test_dedup_keep_best_picks_highest_quality_member(spark):
+    """Keep-best policy: within an exact-dup cluster the surviving doc is
+    the highest-quality member (ties -> lowest id), and saved_chars is
+    the dropped members' total length."""
+    from dedupe_spark.operators.dedup import dedup_keep_best
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs on with "
+        "a long enough body of text for the length gate to accept it."
+    )
+    # same normalized fp as `good` (case + punctuation differences only),
+    # but fails the quality length gate after normalization? No — same
+    # n_chars range; make it *lower* quality by exceeding punct ratio
+    noisy = good.upper().replace(" ", " ;;;; ")
+    short = "tiny"  # its own singleton cluster, quality 0.3 at best
+    df = spark.createDataFrame(
+        [(1, noisy), (2, good), (3, short)], "doc_id long, text string"
+    )
+    rows = {r["cluster_id"]: r for r in dedup_keep_best(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 3}  # cluster ids are min member ids
+    kb = rows[1]
+    assert kb["kept_doc_id"] == 2  # the clean copy wins despite higher id
+    assert kb["n_members"] == 2
+    assert kb["saved_chars"] == len(noisy)
+    assert rows[3]["n_members"] == 1 and rows[3]["saved_chars"] == 0
+
+
+def test_dedup_keep_best_tie_breaks_on_lowest_id(spark):
+    from dedupe_spark.operators.dedup import dedup_keep_best
+
+    text = "a body of text that is comfortably past the fifty character minimum for the quality gate"
+    df = spark.createDataFrame([(7, text), (4, text)], "doc_id long, text string")
+    [row] = dedup_keep_best(df, "doc_id", "text").collect()
+    assert row["cluster_id"] == 4 and row["kept_doc_id"] == 4
+    assert row["n_members"] == 2 and row["saved_chars"] == len(text)
+
+
+def test_corpus_dedup_stats_keep_shortest_accounting(spark):
+    from dedupe_spark.operators.dedup import corpus_dedup_stats
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, "Hello, World"),   # len 12, fp A
+            ("s1", 2, "hello world"),    # len 11, fp A (kept: shortest)
+            ("s1", 3, "unique text"),    # len 11, fp B
+            ("s2", 4, "other corpus"),   # len 12, fp C
+        ],
+        "source string, doc_id long, text string",
+    )
+    got = {r["source"]: r for r in corpus_dedup_stats(df, "doc_id", "text", "source").collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_unique"], s1["dup_rows"]) == (3, 2, 1)
+    assert s1["org_chars"] == 12 + 11 + 11
+    assert s1["saved_chars"] == 12  # the longer copy of fp A is dropped
+    assert abs(s1["dedup_ratio"] - round(12 / 34, 6)) < 1e-9
+    s2 = got["s2"]
+    assert (s2["n_docs"], s2["dup_rows"], s2["saved_chars"]) == (1, 0, 0)
