@@ -49,16 +49,17 @@ warm.release()
 if wtr is not tr:
     wtr.unpersist()
 repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
-best = None
+runs = []
 for _ in range(repeats):  # best-of-N: this sandbox VM has noisy neighbors
     t0 = time.time()
     res = pipeline.run(tr)
     res.clusters.count()
-    sec = time.time() - t0
+    runs.append(time.time() - t0)
     res.release()
-    best = sec if best is None or sec < best else best
+best = min(runs)
 print(json.dumps({{"cpus": cpus, "n_turns": n_turns, "sec": round(best, 2),
-                   "turns_per_sec": round(n_turns / best, 1)}}))
+                   "turns_per_sec": round(n_turns / best, 1),
+                   "runs_sec": [round(s, 2) for s in runs]}}))
 spark.stop()
 """
 
