@@ -563,6 +563,24 @@ def q34_chunk_minhash_pairs(spark, sf_dir):
     )
 
 
+def q34_fast_chunk_minhash_pairs(spark, sf_dir):
+    """Chunk-granularity candidates on the production hash family:
+    xxhash64+Philox MinHash (128 perms / 32 bands), bloom pre-prune,
+    salted stop-banded join — q34's semantics at q21_fast's speed, the
+    configuration a 100 TB corpus would actually run (md5-string
+    permutations exist only for the SQL oracle). No oracle: the hash
+    family is not ANSI-SQL-expressible; property-tested in
+    tests/test_chunk_minhash_fast.py (exact-chunk-dup guarantee,
+    disjoint isolation, determinism, recall vs exact chunk Jaccard)."""
+    from dedupe_spark.operators.dedup import chunk_minhash_pairs_fast
+
+    release_query_caches()
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return chunk_minhash_pairs_fast(
+        d, "doc_id", "text", chunk_tokens=32, deps=_QUERY_DEPS
+    )
+
+
 def q37_dedup_keep_best(spark, sf_dir):
     """The dedup endgame: exact-dup clusters (the same large-star/
     small-star CC machinery as the flagship pipeline) -> keep the
@@ -651,6 +669,26 @@ def q35b_ann_multiprobe(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     out = bucketed_topk(e, q, k=5, planes=3, multiprobe=True)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q39_ivf_ann_topk(spark, sf_dir):
+    """IVF ANN: vectors are assigned to their nearest coarse centroid
+    (an inverted file — at scale the cell is a stored partition column)
+    and each query brute-forces only its nprobe=2 nearest cells. The
+    data-adaptive counterpart of the sign-bucket LSH path (q35): cells
+    follow the embedding distribution instead of fixed hyperplanes.
+    Centroids here are the deterministic ivf_train init (the 8 lowest
+    vec_ids' embeddings, zero Lloyd iterations) so the oracle can build
+    the identical quantizer in SQL; Lloyd refinement is property-tested
+    (tests/test_ivf.py) since iterative averaging is where engines'
+    float paths diverge."""
+    from dedupe_spark.operators.similarity import ivf_topk, ivf_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(e, n_centroids=8, iterations=0)
+    q = e.where(F.col("vec_id") < 5)
+    out = ivf_topk(e, q, cents, k=5, nprobe=2)
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -929,8 +967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_sniff_media_type": q32_sniff_media_type,
         "q33_aac_policy_keys": q33_aac_policy_keys,
         "q34_chunk_minhash_pairs": q34_chunk_minhash_pairs,
+        "q34_fast_chunk_minhash_pairs": q34_fast_chunk_minhash_pairs,
         "q35_bucketed_ann_topk": q35_bucketed_ann_topk,
         "q35b_ann_multiprobe": q35b_ann_multiprobe,
+        "q39_ivf_ann_topk": q39_ivf_ann_topk,
         "q36_jaro_winkler_pairs": q36_jaro_winkler_pairs,
         "q37_dedup_keep_best": q37_dedup_keep_best,
         "q38_corpus_dedup_stats": q38_corpus_dedup_stats,
@@ -1427,6 +1467,38 @@ s AS (
     SELECT qb.qid AS query_id, b.vec_id AS neighbor_id,
            list_cosine_similarity(b.embedding, qb.qv) AS cosine
     FROM b JOIN qb ON b.bucket = qb.bucket AND b.vec_id != qb.qid
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+""",
+        "q39_ivf_ann_topk": """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+qp AS (
+  SELECT e.vec_id AS qid, e.embedding AS qv, c.cid AS cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                                     c.cid ASC) AS pr
+  FROM embeddings e CROSS JOIN c WHERE e.vec_id < 5
+),
+probes AS (SELECT qid, qv, cell FROM qp WHERE pr <= 2),
+s AS (
+  SELECT p.qid AS query_id, v.vec_id AS neighbor_id,
+         list_cosine_similarity(v.embedding, p.qv) AS cosine
+  FROM cells v JOIN probes p ON v.cell = p.cell AND v.vec_id != p.qid
 )
 SELECT query_id, neighbor_id, rank FROM (
   SELECT query_id, neighbor_id,

@@ -96,6 +96,40 @@ class SnapshotCatalog:
         os.replace(tmp, self._pointer(table))
         return sid
 
+    def compact(self, table: str, summary: dict | None = None) -> int:
+        """Rewrite the current read view as ONE overwrite snapshot.
+
+        O(batch) append commits keep the per-commit write bounded, but
+        each one adds a data dir to the read view — after K micro-batches
+        every probe unions K small-file directories and the scan's
+        file-listing grows with ingest history, not data size. Compaction
+        folds them back to a single directory (Iceberg's
+        ``rewrite_data_files``; the reference's remove_files splice pass
+        rewrites surviving blocks into one contiguous package,
+        /root/reference/src/deduplication.cpp:318-436, 441-489).
+
+        The partition layout of the latest snapshot is preserved, older
+        snapshots stay readable by id (time travel is untouched — this
+        is a new snapshot, not history rewriting), and the commit is the
+        same atomic pointer swap as any write.
+        """
+        sid = self.current_snapshot_id(table)
+        if sid == 0:
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        meta = self._read_meta(table, sid)
+        info = {
+            "compacted_from_snapshot": sid,
+            "compacted_data_dirs": len(meta["data_dirs"]),
+            **(summary or {}),
+        }
+        return self.write(
+            table,
+            self.read(table),
+            mode="overwrite",
+            partition_by=meta["partition_by"] or None,
+            summary=info,
+        )
+
     # -- reads ---------------------------------------------------------
     def current_snapshot_id(self, table: str) -> int:
         p = self._pointer(table)
@@ -199,6 +233,21 @@ class IcebergCatalog:
             writer.append()
         else:
             writer.create()
+        return self.current_snapshot_id(table)
+
+    def compact(self, table: str, summary: dict | None = None) -> int:
+        """Fold small files from append commits into full-size ones via
+        Iceberg's ``rewrite_data_files`` procedure — the native
+        equivalent of ``SnapshotCatalog.compact`` (same motivation:
+        per-batch appends keep commits O(batch) but accumulate small
+        files; the scan cost must track data size, not ingest history).
+        """
+        if not self.exists(table):
+            raise FileNotFoundError(f"table {table} has no committed snapshot")
+        self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{table}')"
+        ).collect()
         return self.current_snapshot_id(table)
 
     # -- reads ---------------------------------------------------------

@@ -166,6 +166,56 @@ def chunk_minhash_pairs(
     )
 
 
+def chunk_minhash_pairs_fast(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    bloom_mode: str = "bloom",
+    deps: list | None = None,
+) -> DataFrame:
+    """Production-path chunk-granularity near-dup candidates.
+
+    Same semantics as :func:`chunk_minhash_pairs` (the reference's
+    within-file chunk dedup, /root/reference/src/deduplication.cpp:985-1178)
+    but on the pipeline's fast hash family: xxhash64 shingles folded
+    JVM-side, 128 Philox permutations in one Arrow-batched UDF, codegen
+    band keys, bloom pre-prune of singleton bands, salted stop-banded
+    candidate join (operators/minhash.py + operators/blocking.py — the
+    exact machinery q21_fast and the flagship pipeline run, one level
+    down). Not ANSI-SQL-expressible; covered by property tests
+    (tests/test_chunk_minhash_fast.py).
+
+    Scale shape: chunking is a pure codegen explode (rows x ~len/32, no
+    shuffle); everything after inherits the blocking module's skew
+    handling — hot chunk bands (boilerplate preambles repeat far more at
+    chunk granularity than at doc granularity) hit the salting tier or
+    the stop-band cap instead of exploding the self-join.
+    """
+    from dedupe_spark.operators import blocking, minhash
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("cid"),
+        "chunk_text",
+    )
+    banded = minhash.with_minhash_bands(
+        chunks, "chunk_text", k=k, num_perm=num_perm, bands=bands
+    )
+    blocks = blocking.explode_blocks(banded, "cid", "bands")
+    if deps is not None:
+        # the bloom build + probe + the salted join's frequency branches
+        # all read the exploded blocks: cache once, let the caller drain
+        blocks = blocks.persist()
+        deps.append(blocks)
+    pruned = blocking.bloom_preprune(blocks, mode=bloom_mode, deps=deps)
+    return blocking.candidate_pairs(pruned)
+
+
 def dedup_keep_best(
     df: DataFrame,
     id_col: str,

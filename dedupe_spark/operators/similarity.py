@@ -2,10 +2,15 @@
 
 Baseline: brute-force cosine top-k — a broadcast join of the (small)
 query set against all vectors, dot products via ``zip_with`` (JVM-side,
-codegen'd), top-k via a per-query window. Scale path: IVF-style
-bucketing — assign every vector to a deterministic coarse bucket, probe
-only matching buckets. At 100 TB the bucketed variant turns an O(N*Q)
-scan into O(N/k * Q) with the bucket assignment done once and stored.
+codegen'd), top-k via a per-query window. Two scale paths, both turning
+the O(N*Q) scan into O(N/cells * Q * nprobe) with the assignment done
+once and stored as a partition column:
+
+  * sign-bucket LSH (``bucketed_topk``) — fixed Philox-seeded random
+    hyperplanes, no training, optional Hamming-1 multi-probe;
+  * IVF (``ivf_train``/``ivf_topk``) — data-adapted coarse centroids
+    (deterministic init + Lloyd iterations as DataFrame aggregates),
+    nprobe nearest cells per query.
 
 No UDFs anywhere in the hot path.
 """
@@ -47,6 +52,139 @@ def brute_force_topk(
     )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (highest
+    cosine, ties -> lowest centroid id): (id, v, nv, cell).
+
+    ``centroids`` is a SMALL (cid, cv) frame — broadcast; the assignment
+    is one codegen'd projection + per-vector window over n_centroids
+    rows, no UDF, no wide shuffle (the window partitions by vector id).
+    At 100 TB the cell becomes a stored partition column exactly like
+    the sign bucket — written once at ingest, pruned at probe time.
+    """
+    c = centroids.select(
+        F.col("cid"), F.col("cv"), _norm(F.col("cv")).alias("nc")
+    )
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv")
+        )
+        .join(F.broadcast(c))
+        .withColumn("s", _dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "v", "nv", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse-quantizer training: (cid, cv).
+
+    Init: the embeddings of the ``n_centroids`` lowest vector ids (no
+    RNG — reproducible across runs and cluster sizes, the determinism
+    rule SURVEY §7 sets). Each Lloyd iteration reassigns every vector to
+    its nearest centroid and recomputes centroids as the element-wise
+    mean of their members: posexplode -> groupBy(cell, pos) -> avg ->
+    re-assemble, all JVM-side aggregates (one shuffle keyed on
+    (cell, dim-index) per iteration — never a collect of the vectors).
+    Empty cells keep their previous centroid.
+    """
+    init = (
+        vectors.orderBy(F.asc(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).cast("long").alias("_oid"), F.col(vec_col).alias("cv"))
+    )
+    w0 = Window.orderBy(F.asc("_oid"))
+    cents = init.select(
+        (F.row_number().over(w0) - 1).cast("long").alias("cid"), "cv"
+    )
+    for _ in range(iterations):
+        assigned = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform("pm", lambda s: s["m"].cast("float")).alias("cv"),
+            )
+        )
+        # empty cells keep their previous centroid (left join fills gaps)
+        cents = (
+            cents.select("cid", F.col("cv").alias("cv_old"))
+            .join(means.select("cid", F.col("cv").alias("cv_new")), "cid", "left")
+            .select("cid", F.coalesce("cv_new", "cv_old").alias("cv"))
+        )
+    return cents
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest to each
+    query, brute-force only inside them: (query_id, neighbor_id, cosine,
+    rank).
+
+    The inverted-file structure is the cell assignment (``ivf_assign``);
+    at scale it is a stored partition column, so a probe reads
+    nprobe/n_centroids of the data via partition pruning — the IVF scale
+    path the sign-bucket LSH variant (``bucketed_topk``) trades against:
+    IVF adapts cells to the data distribution (trained centroids),
+    LSH needs no training. With ``nprobe >= n_centroids`` the result
+    equals brute force exactly (tested).
+    """
+    v = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col("id").alias("neighbor_id"), "v", "nv", "cell"
+    )
+    c = centroids.select("cid", "cv", _norm(F.col("cv")).alias("nc"))
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("nq")
+        )
+        .join(F.broadcast(c))
+        .withColumn("s", _dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cid"))
+    probes = (
+        qs.withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "qv", "nq", F.col("cid").alias("cell"))
+    )
+    scored = (
+        v.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -83,6 +83,7 @@ def stream_register_turns(
     bloom_path: str | None = None,
     max_files: int = 1,
     synchronous: bool = True,
+    compact_every: int = 0,
 ):
     """Continuous registry ingest: ``foreachBatch`` drives
     ``register_turns_incremental`` so the stream maintains the SAME
@@ -111,6 +112,11 @@ def stream_register_turns(
     files must register the second file's turns (a conv-level anti-join
     silently drops them — ADVICE r3), while re-delivered rows are
     suppressed exactly.
+
+    ``compact_every=N`` folds the accumulated append deltas back into a
+    single snapshot directory every N batches (``catalog.compact``), so
+    the registry's read-side file count is bounded by N·batch instead of
+    growing with the whole ingest history.
 
     Returns the StreamingQuery (already drained when ``synchronous``).
     """
@@ -184,6 +190,14 @@ def stream_register_turns(
             new_unique.unpersist()
         if bloom_path and "bloom" in state:
             state["bloom"].save(bloom_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # append commits are O(batch) but each adds a data dir to the
+            # read view; periodic compaction folds the view back to one
+            # directory so probe scan cost tracks registry SIZE, not
+            # ingest history (catalog.compact — Iceberg rewrite_data_files
+            # / the reference's splice pass, deduplication.cpp:318-436)
+            catalog.compact("unique_turns", summary={"batch_id": batch_id})
+            catalog.compact("membership", summary={"batch_id": batch_id})
 
     writer = stream.writeStream.foreachBatch(process_batch).trigger(availableNow=True)
     if checkpoint_dir:

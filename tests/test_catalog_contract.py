@@ -154,3 +154,42 @@ def test_incremental_probe_on_bucketed_registry(spark, tmp_path):
     )
     assert m_buck.count() == m_plain.count()
     tr.unpersist()
+
+
+def test_catalog_compact_folds_append_history(spark, catalog):
+    """compact() rewrites the read view as one snapshot: same rows, one
+    data dir (SnapshotCatalog), partition layout preserved, and time
+    travel to the pre-compaction snapshot untouched — the read-side
+    complement of O(batch) append commits (scan cost must track data
+    size, not ingest history)."""
+    import os
+
+    t = "compact_tbl"
+    df = spark.createDataFrame(
+        [(f"fp{i}", i) for i in range(40)], "fp string, block_id long"
+    )
+    from dedupe_spark.operators.lifecycle import with_fp_bucket
+
+    catalog.write(t, with_fp_bucket(df, n_buckets=4), partition_by=["fp_bucket"])
+    for j in range(40, 43):
+        d = spark.createDataFrame([(f"fp{j}", j)], "fp string, block_id long")
+        catalog.write(t, with_fp_bucket(d, n_buckets=4), mode="append", partition_by=["fp_bucket"])
+    before = sorted(map(tuple, catalog.read(t).select("fp", "block_id").collect()))
+    pre_sid = catalog.current_snapshot_id(t)
+
+    sid = catalog.compact(t)
+    after = sorted(map(tuple, catalog.read(t).select("fp", "block_id").collect()))
+    assert after == before
+
+    if isinstance(catalog, SnapshotCatalog):
+        meta = catalog._read_meta(t, sid)
+        assert len(meta["data_dirs"]) == 1  # the union view folded flat
+        assert meta["summary"]["compacted_data_dirs"] == 4
+        # the compacted snapshot keeps the hive-partitioned bucket layout
+        parts = os.listdir(meta["data_dirs"][0])
+        assert any(p.startswith("fp_bucket=") for p in parts), parts
+        # time travel: the pre-compaction view is still readable by id
+        tt = sorted(
+            map(tuple, catalog.read(t, snapshot_id=pre_sid).select("fp", "block_id").collect())
+        )
+        assert tt == before

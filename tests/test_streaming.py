@@ -260,3 +260,57 @@ def test_stream_sessionize_state_spans_batches(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("sess_sink")
         ev.unpersist()
+
+
+def test_stream_register_compact_every_bounds_read_view(spark, tmp_path):
+    """compact_every folds append deltas back into one snapshot dir mid-
+    stream: the registry's read view stays bounded by the batches since
+    the last compaction instead of growing with ingest history, and the
+    final registry still equals batch semantics exactly."""
+    from dedupe_spark.catalog import SnapshotCatalog
+    from dedupe_spark.operators.lifecycle import reconstruct, register_turns
+
+    tr = fixtures.transcripts(spark, n_conv=36).persist()
+    convs = sorted(r["conv_id"] for r in tr.select("conv_id").distinct().collect())
+    src = tmp_path / "incoming"
+    src.mkdir()
+    thirds = [convs[len(convs) // 3], convs[2 * len(convs) // 3]]
+    parts = [
+        tr.where(F.col("conv_id") < thirds[0]),
+        tr.where((F.col("conv_id") >= thirds[0]) & (F.col("conv_id") < thirds[1])),
+        tr.where(F.col("conv_id") >= thirds[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.mode("overwrite").parquet(str(src / f"file{i}"))
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    stream_register_turns(
+        spark,
+        str(src / "*"),
+        catalog,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files=1,
+        compact_every=2,
+    )
+
+    # batches: 0 bootstrap (overwrite), 1 append + compact, 2 append —
+    # the current read view is (compacted dir + one delta), not 3 deltas
+    u_meta = catalog._read_meta("unique_turns", catalog.current_snapshot_id("unique_turns"))
+    assert len(u_meta["data_dirs"]) == 2
+    m_meta = catalog._read_meta("membership", catalog.current_snapshot_id("membership"))
+    assert len(m_meta["data_dirs"]) == 2
+    modes = [s["mode"] for s in catalog.snapshots("unique_turns")]
+    assert "overwrite" in modes[1:]  # the mid-stream compaction commit
+
+    # compaction changed layout only: the registry still equals batch
+    u = catalog.read("unique_turns")
+    m = catalog.read("membership")
+    full_u, _ = register_turns(tr)
+    assert sorted(r["fp"] for r in u.select("fp").collect()) == sorted(
+        r["fp"] for r in full_u.select("fp").collect()
+    )
+    rebuilt = reconstruct(m, u).select("conv_id", "turn_idx", "text")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, tr.select("conv_id", "turn_idx", "text").collect())
+    )
+    tr.unpersist()
