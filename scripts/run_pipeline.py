@@ -47,6 +47,18 @@ def main() -> None:
                     help="disable the tool-role-aware blocking-key policy (C4)")
     ap.add_argument("--catalog", default="snapshot", choices=["snapshot", "iceberg"],
                     help="iceberg requires the runtime jar + catalog conf")
+    ap.add_argument("--stream-input", default=None,
+                    help="glob of a directory Structured Streaming watches for "
+                         "transcript parquet; runs continuous registry ingest "
+                         "(S3 streaming register_file) instead of the batch pipeline")
+    ap.add_argument("--compact-every", type=int, default=8,
+                    help="streaming: fold append deltas into one snapshot dir "
+                         "every N micro-batches (0 = never)")
+    ap.add_argument("--bloom-path", default=None,
+                    help="streaming: persist/load the registry bloom between "
+                         "micro-batches instead of rebuilding it")
+    ap.add_argument("--max-files-per-batch", type=int, default=1,
+                    help="streaming: maxFilesPerTrigger")
     args = ap.parse_args()
 
     from dedupe_spark.catalog import IcebergCatalog, SnapshotCatalog
@@ -54,6 +66,33 @@ def main() -> None:
     from dedupe_spark.session import build_session
 
     spark = build_session(app_name="dedupe_pipeline", master=args.master)
+
+    if args.stream_input:
+        # continuous registry ingest: the streaming shape of register_file
+        # (S3) — availableNow drains whatever is in the directory now and
+        # exits; re-running picks up new files from the stream checkpoint.
+        from dedupe_spark.streaming.dedupe_stream import stream_register_turns
+
+        if args.catalog == "iceberg":
+            catalog = IcebergCatalog(spark)
+        else:
+            catalog = SnapshotCatalog(spark, args.output)
+        t0 = time.time()
+        stream_register_turns(
+            spark,
+            args.stream_input,
+            catalog,
+            checkpoint_dir=args.checkpoint_dir,
+            bloom_path=args.bloom_path,
+            max_files=args.max_files_per_batch,
+            compact_every=args.compact_every,
+        )
+        out = {"wall_sec": round(time.time() - t0, 2), "warehouse": args.output}
+        for t in ("unique_turns", "membership"):
+            out[f"{t}_rows"] = catalog.read(t).count() if catalog.exists(t) else 0
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     if args.fixture_convs:
         from dedupe_spark import fixtures
