@@ -83,19 +83,13 @@ class PipelineResult:
         self.persisted.clear()
 
 
-def run(
-    transcripts: DataFrame,
-    config: PipelineConfig | None = None,
-    catalog: SnapshotCatalog | None = None,
-) -> PipelineResult:
-    cfg = config or PipelineConfig()
-    spark = transcripts.sparkSession
-    persisted: list[DataFrame] = []
+def _docs_with_bands(transcripts: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Conversation docs + exact fp + MinHash band keys (+ shingles).
 
-    # 1. turn-level registry (exact dedup of turns, the reference's core)
-    unique_turns, membership = lifecycle.register_turns(transcripts, deps=persisted)
-
-    # 2. conversation documents in stable (conv_id, turn_idx) order
+    Shared by the batch and incremental paths so both derive IDENTICAL
+    blocking keys from the same text — key parity is what makes the
+    incremental candidate probe equivalent to the batch self-join.
+    """
     docs = normalize.conversation_docs(transcripts)
     docs = docs.withColumn("exact_fp", F.md5("doc"))
     if cfg.aac_policy:
@@ -117,12 +111,27 @@ def run(
             .withColumn("bands", F.array().cast("array<string>"))
             .withColumn("sh", F.array().cast("array<long>"))
         )
-        docs = dyn.unionByName(stat)
-    else:
-        docs = minhash.with_minhash_bands(
-            docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed,
-            keep_shingles=True,
-        )
+        return dyn.unionByName(stat)
+    return minhash.with_minhash_bands(
+        docs, "doc", k=cfg.shingle_k, num_perm=cfg.num_perm, bands=cfg.bands, seed=cfg.seed,
+        keep_shingles=True,
+    )
+
+
+def run(
+    transcripts: DataFrame,
+    config: PipelineConfig | None = None,
+    catalog: SnapshotCatalog | None = None,
+) -> PipelineResult:
+    cfg = config or PipelineConfig()
+    spark = transcripts.sparkSession
+    persisted: list[DataFrame] = []
+
+    # 1. turn-level registry (exact dedup of turns, the reference's core)
+    unique_turns, membership = lifecycle.register_turns(transcripts, deps=persisted)
+
+    # 2. conversation documents in stable (conv_id, turn_idx) order
+    docs = _docs_with_bands(transcripts, cfg)
     # the doc table is reused by blocking AND scoring — cache it once
     docs = docs.persist()
     persisted.append(docs)
@@ -259,3 +268,280 @@ def commit(result: PipelineResult, catalog: SnapshotCatalog) -> None:
     catalog.write("clusters", result.clusters)
     catalog.write("edges", result.edges)
     catalog.write("metrics", result.metrics)
+    # blocking-key index tables: what an incremental batch probes instead
+    # of re-blocking the corpus (run_incremental). Both bucket-partitioned
+    # like the registry so a probe prunes to the buckets it touches.
+    # doc_blocks is written UNPRUNED (singleton bands included): a band
+    # that pairs with nothing today may pair with tomorrow's batch.
+    catalog.write(
+        "doc_index",
+        _with_key_bucket(result.docs.select("conv_id", "exact_fp"), "exact_fp"),
+        partition_by=["key_bucket"],
+    )
+    catalog.write(
+        "doc_blocks",
+        _with_key_bucket(
+            blocking.explode_blocks(result.docs, "conv_id", "bands"), "band_key"
+        ),
+        partition_by=["key_bucket"],
+    )
+
+
+def _with_key_bucket(df: DataFrame, key_col: str, n_buckets: int = 64) -> DataFrame:
+    """pmod(xxhash64(key), n) partition column (the registry's fp_bucket
+    geometry for the doc-level index tables)."""
+    return df.withColumn(
+        "key_bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+    )
+
+
+def current_clusters(catalog: SnapshotCatalog) -> DataFrame:
+    """Latest-wins view of cluster assignments: the base ``clusters``
+    table merged with the ``cluster_updates`` append log (merge-on-read,
+    Iceberg MoR semantics). Incremental runs append ONLY changed/new
+    rows — O(delta) per commit — so the read view must pick each
+    conv_id's newest assignment; ``compact_clusters`` folds the log back
+    into the base table when it grows."""
+    from pyspark.sql import Window
+
+    base = catalog.read("clusters").select(
+        "conv_id", "cluster_id", F.lit(0).alias("_v")
+    )
+    if catalog.exists("cluster_updates"):
+        base = base.unionByName(
+            catalog.read("cluster_updates").select("conv_id", "cluster_id", "_v")
+        )
+    w = Window.partitionBy("conv_id").orderBy(F.desc("_v"))
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "cluster_id")
+    )
+
+
+def compact_clusters(catalog: SnapshotCatalog) -> None:
+    """Fold the cluster_updates append log into the base clusters table
+    (one overwrite snapshot each) — same motivation as catalog.compact:
+    the merge-on-read window must not pay for unbounded update history."""
+    merged = current_clusters(catalog)
+    catalog.write("clusters", merged)
+    if catalog.exists("cluster_updates"):
+        catalog.write("cluster_updates", catalog.read("cluster_updates").limit(0))
+
+
+def run_incremental(
+    new_transcripts: DataFrame,
+    catalog: SnapshotCatalog,
+    config: PipelineConfig | None = None,
+) -> PipelineResult:
+    """Fold a NEW batch of conversations into a committed pipeline state
+    — the reference's incremental ``insert_files`` against an existing
+    package (prepare_insert + splice,
+    /root/reference/src/deduplication.cpp:612-637, 658-792) at the
+    cluster level. Nothing re-blocks, re-scores, or re-clusters the
+    existing corpus:
+
+      1. registry: ``register_turns_incremental`` (bloom-split probe,
+         dense-id continuation) — appends O(batch) delta snapshots;
+      2. blocking: the batch's band keys / exact fps probe the committed
+         ``doc_blocks`` / ``doc_index`` tables (bucket-pruned joins), so
+         candidates = new×old ∪ new×new — never old×old, whose verdicts
+         the committed clusters already encode;
+      3. the stop-band cap applies to the key's TOTAL frequency
+         (committed df + batch df), matching what a from-scratch run
+         over the full corpus would drop;
+      4. scoring reads only the touched old docs, reconstructed from the
+         registry (membership ⋈ unique_turns, semi-joined to the
+         candidate ids) — O(candidates), not O(corpus);
+      5. clustering: ``incremental_components`` unions the committed
+         assignment's star edges with the delta edges — O(delta)
+         contraction work;
+      6. commit: registry/index/edges tables take append-mode deltas;
+         cluster assignments append ONLY changed+new rows to the
+         ``cluster_updates`` log (``current_clusters`` is the
+         merge-on-read view, ``compact_clusters`` folds it).
+
+    Equivalence contract (tested): when no band key crosses the
+    stop-band threshold across the split, ``current_clusters`` after
+    increments equals ``run()`` over the concatenated input exactly.
+    (A key that crosses mid-stream is dropped later than a full-corpus
+    run would have dropped it — already-committed edges stay; the same
+    monotonicity the reference's registry has.)
+    """
+    cfg = config or PipelineConfig()
+    persisted: list[DataFrame] = []
+
+    unique_turns = catalog.read("unique_turns")
+    membership = catalog.read("membership")
+
+    # 1. registry increment (probe bounded by bloom + bucket pruning)
+    state: dict = {}
+    merged_unique, merged_membership = lifecycle.register_turns_incremental(
+        new_transcripts, unique_turns, membership,
+        deps=persisted, bloom_shards=cfg.bloom_shards,
+        max_driver_bytes=cfg.bloom_max_driver_bytes, state=state,
+    )
+
+    # 2. the batch's docs, keyed identically to the batch path
+    ndocs = _docs_with_bands(new_transcripts, cfg).persist()
+    persisted.append(ndocs)
+
+    # 3. exact-fp delta edges: each new doc links to the committed
+    # group minimum for its fp (bucket-pruned probe) + first-writer-wins
+    # links among the batch's own docs
+    new_idx = _with_key_bucket(ndocs.select("conv_id", "exact_fp"), "exact_fp")
+    old_idx = catalog.read("doc_index")
+    old_min = (
+        old_idx.join(
+            new_idx.select("key_bucket", "exact_fp").distinct(),
+            ["key_bucket", "exact_fp"],
+        )
+        .groupBy("key_bucket", "exact_fp")
+        .agg(F.min("conv_id").alias("id_a"))
+    )
+    exact_old = (
+        new_idx.join(old_min, ["key_bucket", "exact_fp"])
+        .where(F.col("id_a") != F.col("conv_id"))
+        .select("id_a", F.col("conv_id").alias("id_b"))
+    )
+    exact_new = blocking.exact_key_pairs(ndocs, "conv_id", "exact_fp")
+    exact_edges = exact_old.union(exact_new).distinct()
+
+    # 4. LSH delta candidates: batch bands probe the committed block
+    # index; the stop-band cap uses committed+batch TOTAL key frequency
+    nblocks = _with_key_bucket(
+        blocking.explode_blocks(ndocs, "conv_id", "bands"), "band_key"
+    ).persist()
+    persisted.append(nblocks)
+    old_blocks = catalog.read("doc_blocks").join(
+        nblocks.select("key_bucket", "band_key").distinct(),
+        ["key_bucket", "band_key"],
+    ).persist()  # pruned to touched keys — small
+    persisted.append(old_blocks)
+    df_total = (
+        nblocks.groupBy("key_bucket", "band_key").agg(F.count("*").alias("dn"))
+        .join(
+            old_blocks.groupBy("key_bucket", "band_key").agg(F.count("*").alias("do")),
+            ["key_bucket", "band_key"], "left",
+        )
+        .select(
+            "key_bucket", "band_key",
+            (F.col("dn") + F.coalesce(F.col("do"), F.lit(0))).alias("df"),
+        )
+    )
+    live_keys = df_total.where(F.col("df") <= cfg.max_block).select(
+        "key_bucket", "band_key"
+    )
+    nb_live = nblocks.join(live_keys, ["key_bucket", "band_key"])
+    # new×old: the probe join (old side bounded by max_block per key);
+    # new×new: the batch's own self-join via the salted machinery
+    cand_no = (
+        nb_live.select("key_bucket", "band_key", F.col("id").alias("_nid"))
+        .join(
+            old_blocks.select(
+                "key_bucket", "band_key", F.col("id").alias("_oid")
+            ),
+            ["key_bucket", "band_key"],
+        )
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
+    )
+    cand_nn = blocking.candidate_pairs(
+        nb_live.select("id", "band_key"),
+        max_block=cfg.max_block,
+        salt_threshold=cfg.salt_threshold,
+        salt_groups=cfg.salt_groups,
+    )
+    cands = cand_no.union(cand_nn).distinct()
+    cands = cands.join(
+        exact_edges.withColumnRenamed("id_a", "ea").withColumnRenamed("id_b", "eb"),
+        (F.col("id_a") == F.col("ea")) & (F.col("id_b") == F.col("eb")),
+        "left_anti",
+    )
+
+    # 5. scoring over exactly the touched docs: batch docs as computed,
+    # old docs reconstructed from the registry for the candidate ids only
+    pair_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias("conv_id")
+    ).distinct()
+    old_ids = pair_ids.join(ndocs.select("conv_id"), "conv_id", "left_anti")
+    old_docs = normalize.conversation_docs(
+        lifecycle.reconstruct(
+            membership.join(old_ids, "conv_id", "left_semi"), unique_turns
+        )
+    )
+    scoring_docs = ndocs.select("conv_id", "doc", "doc_len").unionByName(
+        old_docs.select("conv_id", "doc", "doc_len")
+    )
+    scored = scoring.score_pairs(
+        cands, scoring_docs,
+        min_len_ratio=cfg.min_len_ratio, k=cfg.shingle_k,
+        decider=cfg.decider, deps=persisted,
+    )
+    sim_edges = scored.where("is_dup").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = exact_edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(sim_edges)
+
+    # 6. O(delta) cluster maintenance
+    prev = current_clusters(catalog).select(
+        F.col("conv_id").alias("node"), "cluster_id"
+    ).persist()
+    persisted.append(prev)
+    merged_cc = clustering.incremental_components(prev, edges)
+    all_ids = prev.select(F.col("node").alias("conv_id")).union(
+        ndocs.select("conv_id")
+    ).distinct()
+    clusters = clustering.clusters_with_singletons(all_ids, merged_cc)
+
+    # changed+new rows only — the O(delta) append the update log expects
+    delta_rows = clusters.join(
+        prev.select(F.col("node").alias("conv_id"), F.col("cluster_id").alias("_old")),
+        "conv_id", "left",
+    ).where(
+        F.col("_old").isNull() | (F.col("_old") != F.col("cluster_id"))
+    ).select("conv_id", "cluster_id")
+
+    # 7. commit: every table takes an O(delta) append; the clusters log
+    # carries a monotone version for the merge-on-read window
+    v = catalog.current_snapshot_id("cluster_updates") + 1 if catalog.exists(
+        "cluster_updates"
+    ) else 1
+    catalog.write(
+        "unique_turns",
+        lifecycle.with_fp_bucket(state["new_unique"]),
+        mode="append", partition_by=["fp_bucket"],
+    )
+    catalog.write("membership", state["new_membership"], mode="append")
+    catalog.write("doc_index", new_idx, mode="append", partition_by=["key_bucket"])
+    catalog.write(
+        "doc_blocks",
+        _with_key_bucket(
+            blocking.explode_blocks(ndocs, "conv_id", "bands"), "band_key"
+        ),
+        mode="append", partition_by=["key_bucket"],
+    )
+    catalog.write("edges", edges, mode="append")
+    catalog.write(
+        "cluster_updates",
+        delta_rows.select("conv_id", "cluster_id", F.lit(v).cast("long").alias("_v")),
+        mode="append",
+    )
+
+    return PipelineResult(
+        clusters=clusters,
+        edges=edges,
+        scored_pairs=scored,
+        candidate_pairs=cands,
+        docs=ndocs,
+        unique_turns=merged_unique,
+        membership=merged_membership,
+        metrics=new_transcripts.sparkSession.createDataFrame(
+            [], "metric string, value double"
+        ),
+        persisted=persisted,
+    )

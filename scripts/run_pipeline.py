@@ -47,6 +47,13 @@ def main() -> None:
                     help="disable the tool-role-aware blocking-key policy (C4)")
     ap.add_argument("--catalog", default="snapshot", choices=["snapshot", "iceberg"],
                     help="iceberg requires the runtime jar + catalog conf")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold --input into an EXISTING committed warehouse: "
+                         "probe the committed block index, score only delta "
+                         "pairs, O(delta) cluster-update append (run_incremental)")
+    ap.add_argument("--compact-clusters", action="store_true",
+                    help="after an incremental run, fold the cluster_updates "
+                         "log back into the base clusters table")
     ap.add_argument("--stream-input", default=None,
                     help="glob of a directory Structured Streaming watches for "
                          "transcript parquet; runs continuous registry ingest "
@@ -123,8 +130,16 @@ def main() -> None:
     )
 
     t0 = time.time()
-    result = run(transcripts, cfg, catalog=catalog)
-    n = result.clusters.count()
+    if args.incremental:
+        from dedupe_spark.pipeline import compact_clusters, current_clusters, run_incremental
+
+        result = run_incremental(transcripts, catalog, cfg)
+        if args.compact_clusters:
+            compact_clusters(catalog)
+        n = current_clusters(catalog).count()
+    else:
+        result = run(transcripts, cfg, catalog=catalog)
+        n = result.clusters.count()
     print(json.dumps({"clusters_table_rows": n, "wall_sec": round(time.time() - t0, 2),
                       "warehouse": args.output}))
     spark.stop()
