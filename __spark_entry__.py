@@ -949,6 +949,51 @@ def q42_sessionize(spark, sf_dir):
     )
 
 
+def q48_passage_dedup(spark, sf_dir):
+    """Passage-granular exact-substring dedup stats (Lee et al. 2022 at
+    fixed 16-token windows — the scalable stand-in for suffix arrays;
+    reference analog: FSP fixed-block chunking, deduplication.cpp:22).
+    explode -> hash-agg on passage md5 -> join back -> per-doc agg; all
+    shuffles keyed on the passage hash or doc id, nothing quadratic."""
+    from dedupe_spark.operators.dedup import passage_dedup_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return passage_dedup_stats(d, "doc_id", "text", window=16)
+
+
+def q49_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 20 != 0)
+    sharing >= 3 distinct 8-gram with a benchmark doc (doc_id % 20 == 0).
+    The benchmark gram set is broadcast, so the corpus side never
+    shuffles — the plan a 100 TB decontamination pass needs."""
+    from dedupe_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return decontaminate(train, bench, "doc_id", "text", n=8, min_shared=3)
+
+
+def q50_filter_funnel(spark, sf_dir):
+    """C4/Gopher-style corpus filter funnel: first-failing-rule verdict
+    per document, single scan, zero joins (every rule is a codegen'd
+    per-row expression)."""
+    from dedupe_spark.operators.text_analysis import filter_funnel
+
+    d = _t(spark, sf_dir, "documents")
+    return filter_funnel(d, "text").select("doc_id", "verdict")
+
+
+def q51_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document: explode -> two map-side-combinable
+    hash aggs -> token-keyed join -> per-doc window top-k; corpus size N
+    enters as a broadcast 1-row aggregate, not a driver collect."""
+    from dedupe_spark.operators.text_analysis import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1006,6 +1051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_quality_scores": q26_quality_scores,
         "q27_token_counts": q27_token_counts,
         "q47_repetition_metrics": q47_repetition_metrics,
+        "q48_passage_dedup": q48_passage_dedup,
+        "q49_decontaminate": q49_decontaminate,
+        "q50_filter_funnel": q50_filter_funnel,
+        "q51_tfidf_top_terms": q51_tfidf_top_terms,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1405,6 +1454,102 @@ SELECT g.doc_id,
                   THEN coalesce(topc, 0)::DOUBLE / len(grams)
                   ELSE 0.0 END, 6) AS top_2gram_frac
 FROM g LEFT JOIN top USING (doc_id)
+""",
+        "q48_passage_dedup": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+pw AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 16
+              THEN list_transform(range(0, len(toks) // 16),
+                     i -> md5(array_to_string(toks[i*16+1 : i*16+16], ' ')))
+              ELSE []::VARCHAR[] END AS ph
+  FROM tok
+),
+p AS (SELECT doc_id, unnest(ph) AS phash FROM pw),
+occ AS (SELECT phash, count(*) AS n_occ FROM p GROUP BY phash),
+per_doc AS (
+  SELECT p.doc_id, count(*) AS n_passages,
+         sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM p JOIN occ USING (phash) GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       coalesce(n_passages, 0)::BIGINT AS n_passages,
+       coalesce(n_dup, 0)::BIGINT AS n_dup_passages,
+       round(coalesce(n_dup, 0)::DOUBLE / greatest(coalesce(n_passages, 0), 1), 6)
+           AS dup_passage_frac
+FROM documents d LEFT JOIN per_doc USING (doc_id)
+""",
+        "q49_decontaminate": f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 8
+         THEN list_transform(range(0, len(toks) - 7),
+                i -> array_to_string(toks[i+1 : i+8], ' '))
+         ELSE [array_to_string(toks, ' ')] END)) AS g
+  FROM tok
+)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id, count(*)::BIGINT AS n_shared
+FROM g t JOIN g b USING (g)
+WHERE t.doc_id % 20 != 0 AND b.doc_id % 20 = 0
+GROUP BY t.doc_id, b.doc_id
+HAVING count(*) >= 3
+""",
+        "q50_filter_funnel": f"""
+WITH f AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+           ({stop_sum}) / greatest(array_length(regexp_split_to_array(trim(text), '\\s+')), 1)
+               AS stopword_ratio,
+           {lang_scores['en']} AS s_en,
+           {lang_scores['de']} AS s_de,
+           {lang_scores['fr']} AS s_fr,
+           {lang_scores['es']} AS s_es
+    FROM documents
+),
+g AS (
+    SELECT *, len(toks) AS n_words,
+           CASE WHEN len(toks) > 0
+                THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS uniq_frac,
+           CASE WHEN len(toks) >= 2
+                THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+                ELSE 0.0 END AS dup_2gram,
+           greatest(s_en, s_de, s_fr, s_es) AS b
+    FROM f
+)
+SELECT doc_id,
+       CASE WHEN n_words < 10 THEN 'too_short'
+            WHEN n_chars > 20000 THEN 'too_long'
+            WHEN stopword_ratio < 0.05 THEN 'low_stopword'
+            WHEN punct_ratio > 0.2 THEN 'high_punct'
+            WHEN dup_2gram > 0.3 OR uniq_frac < 0.3 THEN 'repetitive'
+            WHEN (CASE WHEN s_en = b THEN 'en' WHEN s_de = b THEN 'de'
+                       WHEN s_fr = b THEN 'fr' ELSE 'es' END) != 'en' THEN 'non_english'
+            ELSE 'keep' END AS verdict
+FROM g
+""",
+        "q51_tfidf_top_terms": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, token),
+dfq AS (SELECT token, count(*)::BIGINT AS df_t FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, tf.tf * ln(n_docs::DOUBLE / df_t) AS tfidf
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rank
+      FROM scored)
+SELECT doc_id, rank::INT AS rank, token, tf, round(tfidf, 6) AS tfidf
+FROM r WHERE rank <= 3
 """,
         "q28_cc_exact_clusters": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)

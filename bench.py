@@ -120,6 +120,18 @@ def main() -> None:
         extras[f"{name}_rows"] = n
 
     total = round(sum(timings.values()), 2)
+    # headline keys are compacted to the qNN[suffix] prefix ("q22",
+    # "q21_fast", "pipeline") so the final line stays well inside the
+    # driver's ~2000-char tail capture even as queries are added; the
+    # full-name -> timing map lives in the sidecar's run_arrays
+    def _short(name: str) -> str:
+        parts = name.split("_")
+        if parts[0] == "pipeline":
+            return "pipeline"
+        return "_".join(parts[:2]) if parts[1:2] == ["fast"] else parts[0]
+
+    short_timings = {_short(k): v for k, v in timings.items()}
+    assert len(short_timings) == len(timings), "short-name collision"
     sidecar = {
         "protocol": (
             "each query: >=2 full recomputes (3rd when min>5s), "
@@ -139,7 +151,7 @@ def main() -> None:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short_timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "extras_file": "BENCH_EXTRAS.json",

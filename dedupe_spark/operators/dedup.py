@@ -299,6 +299,108 @@ def dedup_keep_best(
     )
 
 
+def passage_hashes(text: Column, window: int = 16) -> Column:
+    """md5 per consecutive non-overlapping ``window``-token passage.
+
+    The scalable stand-in for suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", public): fixed token windows hash-grouped
+    corpus-wide find every duplicated span >= 2*window-1 tokens.
+    Documents shorter than one window contribute no passages. Pure
+    codegen'd array exprs; the reference's analog is FSP chunking
+    (fixed 4096-B blocks, /root/reference/src/deduplication.cpp:22),
+    re-cut at token granularity.
+    """
+    toks = F.split(normalize_expr(text), " ")
+    n_win = F.floor(F.size(toks) / F.lit(window)).cast("int")
+    return F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * window + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def passage_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16
+) -> DataFrame:
+    """Per-document duplicated-passage statistics over the whole corpus.
+
+    (id, n_passages, n_dup_passages, dup_passage_frac): a passage is
+    "duplicated" when its hash occurs more than once corpus-wide
+    (including within the same document — a self-repeating doc is as
+    much a dedup target as a copied one). Plan shape: explode ->
+    groupBy(passage hash) with map-side combine -> join back keyed on
+    the hash -> per-doc aggregate; every stage is keyed on either the
+    passage hash or the doc id, so hot passages spread across the
+    shuffle and nothing is quadratic. Docs shorter than one window are
+    kept with zero counts (left join against the id set).
+    """
+    p = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(passage_hashes(F.col(text_col), window)).alias("phash"),
+    )
+    occ = p.groupBy("phash").agg(F.count("*").alias("n_occ"))
+    per_doc = (
+        p.join(occ, "phash")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_passages"),
+            F.sum((F.col("n_occ") > 1).cast("long")).cast("long").alias("n_dup_passages"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_passages", F.lit(0)).cast("long").alias("n_passages"),
+            F.coalesce("n_dup_passages", F.lit(0)).cast("long").alias("n_dup_passages"),
+            F.round(
+                F.coalesce("n_dup_passages", F.lit(0))
+                / F.greatest(F.coalesce("n_passages", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_passage_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing >= ``min_shared``
+    distinct token ``n``-grams with a benchmark doc.
+
+    The standard eval-decontamination pass (GPT-3 appendix C / PaLM /
+    Llama data cards, all public): n-gram collision between the training
+    corpus and held-out benchmarks. Plan shape at scale: the benchmark
+    side is always tiny relative to a 100 TB corpus, so its exploded
+    distinct-gram set is **broadcast** — the training side explodes and
+    map-side-joins without shuffling the corpus; the only shuffle is the
+    per-(train,bench) count, keyed on the colliding pairs.
+    """
+    tg = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    bg = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    return (
+        tg.join(F.broadcast(bg), "g")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def corpus_dedup_stats(df: DataFrame, id_col: str, text_col: str, by: str) -> DataFrame:
     """Per-group dedup savings statistics — the reference's package_stat
     print ("saved/org %", /root/reference/src/deduplication.cpp:1860-1894)

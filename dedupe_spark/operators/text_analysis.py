@@ -196,3 +196,121 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
         )
         .drop("_toks", "_grams", "_top")
     )
+
+
+# fixed rule order for the corpus filter funnel: a document's verdict is
+# the FIRST failing rule, so per-rule drop counts form a funnel (each
+# rule only sees what the previous rules kept) — the layout of the
+# C4 / Gopher data-pipeline quality reports (Raffel et al. 2020,
+# Rae et al. 2021, public)
+FUNNEL_RULES = (
+    "too_short",
+    "too_long",
+    "low_stopword",
+    "high_punct",
+    "repetitive",
+    "non_english",
+)
+
+
+def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite keep/drop verdict per document, first-failing-rule wins.
+
+    Single pass, zero joins: every rule is a per-row codegen'd
+    expression (token split, distinct-count, stopword substring counts,
+    language-marker argmax), so the funnel costs one scan at any corpus
+    size and the verdict column is partition-pruning-friendly when the
+    output is written partitioned by verdict.
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    punct_ratio = (
+        n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    ) / F.greatest(n_chars, F.lit(1))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for w in _EN_STOPWORDS:
+        c = _count_occurrences(padded, f" {w} ")
+        stop_hits = c if stop_hits is None else stop_hits + c
+    stopword_ratio = stop_hits / F.greatest(n_words, F.lit(1))
+    uniq_frac = F.when(
+        n_words > 0, F.size(F.array_distinct(toks)) / n_words
+    ).otherwise(F.lit(0.0))
+    m = n_words - F.lit(1)
+    grams = F.when(
+        n_words >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_2gram = F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+    scored = df
+    for lang in _LANG_MARKERS:
+        scored = scored.withColumn(f"_s_{lang}", lang_score(t, lang))
+    best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_MARKERS])
+    pred = None
+    for lang in reversed(list(_LANG_MARKERS)):
+        cond = F.when(F.col(f"_s_{lang}") == best, F.lit(lang))
+        pred = cond.otherwise(pred) if pred is not None else cond
+
+    verdict = (
+        F.when(n_words < 10, F.lit("too_short"))
+        .when(n_chars > 20000, F.lit("too_long"))
+        .when(stopword_ratio < 0.05, F.lit("low_stopword"))
+        .when(punct_ratio > 0.2, F.lit("high_punct"))
+        .when((dup_2gram > 0.3) | (uniq_frac < 0.3), F.lit("repetitive"))
+        .when(pred != F.lit("en"), F.lit("non_english"))
+        .otherwise(F.lit("keep"))
+    )
+    return scored.withColumn("verdict", verdict).drop(
+        *[f"_s_{lang}" for lang in _LANG_MARKERS]
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    idf = ln(N / df_t) over the corpus; ties break on the token string
+    so the result is deterministic. Plan shape: explode -> two
+    hash aggregates (term frequency per (doc, token), document
+    frequency per token — both map-side combinable) -> join keyed on
+    token -> per-doc window top-k. N enters the plan as a broadcast
+    1-row aggregate (cross join), not a driver-side collect, so the
+    whole thing stays one lazy DAG.
+    """
+    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    tf = (
+        df.select(F.col(id_col).alias("id"), toks)
+        .groupBy("id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    docfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df_t"))
+    n_docs = df.select(F.col(id_col)).distinct().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            "tf",
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )

@@ -194,3 +194,41 @@ def test_corpus_dedup_stats_keep_shortest_accounting(spark):
     assert abs(s1["dedup_ratio"] - round(12 / 34, 6)) < 1e-9
     s2 = got["s2"]
     assert (s2["n_docs"], s2["dup_rows"], s2["saved_chars"]) == (1, 0, 0)
+
+
+def test_passage_dedup_stats(spark):
+    from dedupe_spark.operators.dedup import passage_dedup_stats
+
+    w16 = " ".join(f"tok{i}" for i in range(16))
+    other = " ".join(f"zzz{i}" for i in range(16))
+    rows = [
+        (1, w16 + " " + other),          # 2 passages, first shared with doc 2
+        (2, w16 + " " + w16),            # same window twice -> both duplicated
+        (3, "tiny doc"),                 # shorter than a window -> zero passages
+        (4, " ".join(f"uni{i}" for i in range(35))),  # 2 unique passages + tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in passage_dedup_stats(df, "doc_id", "text", window=16).collect()}
+    assert got[1]["n_passages"] == 2 and got[1]["n_dup_passages"] == 1
+    assert got[2]["n_passages"] == 2 and got[2]["n_dup_passages"] == 2
+    assert got[2]["dup_passage_frac"] == 1.0
+    assert got[3]["n_passages"] == 0 and got[3]["dup_passage_frac"] == 0.0
+    assert got[4]["n_passages"] == 2 and got[4]["n_dup_passages"] == 0
+
+
+def test_decontaminate_finds_overlap_and_broadcasts(spark):
+    from dedupe_spark.operators.dedup import decontaminate
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 5 distinct 8-grams
+    train = spark.createDataFrame(
+        [(1, shared + " trailer tokens here"), (2, "completely different text " * 3)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, shared)], "doc_id long, text string")
+    out = decontaminate(train, bench, "doc_id", "text", n=8, min_shared=3)
+    rows = {(r["train_id"], r["bench_id"]): r["n_shared"] for r in out.collect()}
+    assert rows == {(1, 100): 5}
+    # the benchmark side must broadcast: the corpus-side scan joins
+    # without a shuffle on the big side
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -98,3 +98,48 @@ def test_repetition_metrics(spark):
     r5 = rows[5]
     assert r5["n_tokens"] == 1
     assert r5["dup_2gram_frac"] == 0.0 and r5["top_2gram_frac"] == 0.0
+
+
+def test_filter_funnel_rule_precedence(spark):
+    from dedupe_spark.operators.text_analysis import filter_funnel
+
+    en = ("the cat and the dog went to the park and it is a sunny day "
+          "for everyone involved in the big happy outing today")
+    rows = [
+        (1, en),                                    # keep
+        (2, "tiny"),                                # too_short (fails later rules too)
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),  # no stopwords
+        (4, ("der hund und die katze sind nicht im haus und der garten ist "
+             "schoen heute und der himmel ist blau und die sonne ist nicht kalt")),  # non_english... stopwords?
+        (5, ("yes no " * 20).strip() + " the of and to is in a for on with"),  # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"] for r in filter_funnel(df, "text").collect()}
+    assert got[1] == "keep"
+    assert got[2] == "too_short"          # first rule wins even if others fail
+    assert got[3] == "low_stopword"
+    assert got[5] == "repetitive"
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from dedupe_spark.operators.text_analysis import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "cherry cherry cherry shared"),
+        (3, "banana date shared shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["token"], r["tf"], r["tfidf"]))
+    # 'shared' is in every doc -> idf = ln(1) = 0, never a top term
+    top1 = {d: sorted(v)[0][1] for d, v in by_doc.items()}
+    # doc 3: 'date' (df=1, idf=ln 3) outranks 'banana' (df=2, idf=ln 1.5)
+    assert top1 == {1: "apple", 2: "cherry", 3: "date"}
+    got = dict((t, s) for _, t, _, s in by_doc[1])
+    assert got["apple"] == round(2 * math.log(3 / 1), 6)
+    assert all(len(v) == 2 for v in by_doc.values())
