@@ -994,6 +994,37 @@ def q51_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
+def q52_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
+    pairwise cosine; drop vectors with a >=0.4-similar lower-id
+    cell-mate. The only quadratic work is per-cell (the paper's trick);
+    at scale the cell is a stored partition column. Centroids are the
+    deterministic zero-iteration ivf_train init so the oracle builds
+    the identical quantizer in SQL (same convention as q39)."""
+    from dedupe_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_centroids=8, threshold=0.4).select(
+        "vec_id", "cell", "n_dups", "keep"
+    )
+
+
+def q53_curate(spark, sf_dir):
+    """End-to-end corpus curation verdict (operators/curation.py):
+    quality funnel -> exact dedup -> MinHash-candidate + verified-
+    Jaccard near-dedup -> benchmark decontamination, one verdict per
+    doc with fixed precedence. Training split doc_id % 20 != 0,
+    benchmark split % 20 == 0 (as q49). The expensive stages only ever
+    see earlier-stage survivors — the plan shape of a real 100 TB
+    curation run."""
+    from dedupe_spark.operators.curation import curate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 20 != 0)
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    return curate(train, bench, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1055,6 +1086,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_decontaminate": q49_decontaminate,
         "q50_filter_funnel": q50_filter_funnel,
         "q51_tfidf_top_terms": q51_tfidf_top_terms,
+        "q52_semantic_dedup": q52_semantic_dedup,
+        "q53_curate": q53_curate,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1201,6 +1234,10 @@ def oracle_sql() -> dict[str, str]:
     stop_sum = " + ".join(
         f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
         for w in ["the", "and", "of", "to", "is", "in", "a", "for", "on", "with"]
+    )
+    perms53 = ", ".join(f"min(md5('{j}:' || g)) AS m{j}" for j in range(12))
+    bands53 = ", ".join(
+        f"'b{b}:' || md5(m{2 * b} || '|' || m{2 * b + 1})" for b in range(6)
     )
     lang_scores = {
         lang: " + ".join(
@@ -1550,6 +1587,150 @@ r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, toke
       FROM scored)
 SELECT doc_id, rank::INT AS rank, token, tf, round(tfidf, 6) AS tfidf
 FROM r WHERE rank <= 3
+""",
+        "q52_semantic_dedup": """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+a AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC,
+                                     c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM a WHERE rn = 1),
+p AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         list_cosine_similarity(x.embedding, y.embedding) AS cos
+  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id != y.vec_id
+),
+per AS (
+  SELECT id_a,
+         sum(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+         max(CASE WHEN cos >= 0.4 AND id_b < id_a THEN 1 ELSE 0 END) AS hld
+  FROM p GROUP BY id_a
+)
+SELECT cl.vec_id, cl.cell,
+       coalesce(n_dups, 0)::BIGINT AS n_dups,
+       coalesce(hld, 0) = 0 AS keep
+FROM cells cl LEFT JOIN per ON cl.vec_id = per.id_a
+""",
+        "q53_curate": f"""
+WITH f AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+           ({stop_sum}) / greatest(array_length(regexp_split_to_array(trim(text), '\\s+')), 1)
+               AS stopword_ratio,
+           {lang_scores['en']} AS s_en,
+           {lang_scores['de']} AS s_de,
+           {lang_scores['fr']} AS s_fr,
+           {lang_scores['es']} AS s_es
+    FROM documents WHERE doc_id % 20 != 0
+),
+g2 AS (
+    SELECT *, len(toks) AS n_words,
+           CASE WHEN len(toks) > 0
+                THEN len(list_distinct(toks))::DOUBLE / len(toks) ELSE 0.0 END AS uniq_frac,
+           CASE WHEN len(toks) >= 2
+                THEN 1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])))::DOUBLE / (len(toks) - 1)
+                ELSE 0.0 END AS dup_2gram,
+           greatest(s_en, s_de, s_fr, s_es) AS b
+    FROM f
+),
+funnel AS (
+    SELECT doc_id,
+       CASE WHEN n_words < 10 THEN 'too_short'
+            WHEN n_chars > 20000 THEN 'too_long'
+            WHEN stopword_ratio < 0.05 THEN 'low_stopword'
+            WHEN punct_ratio > 0.2 THEN 'high_punct'
+            WHEN dup_2gram > 0.3 OR uniq_frac < 0.3 THEN 'repetitive'
+            WHEN (CASE WHEN s_en = b THEN 'en' WHEN s_de = b THEN 'de'
+                       WHEN s_fr = b THEN 'fr' ELSE 'es' END) != 'en' THEN 'non_english'
+            ELSE 'keep' END AS verdict
+    FROM g2
+),
+surv AS (
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN funnel USING (doc_id) WHERE funnel.verdict = 'keep'
+),
+fpt AS (SELECT doc_id, text, md5({_NORM_SQL.format(c='text')}) AS fp FROM surv),
+canonfp AS (SELECT fp, min(doc_id) AS canon_id FROM fpt GROUP BY fp),
+ex AS (
+    SELECT f2.doc_id, f2.text, (f2.doc_id != c2.canon_id) AS is_exact_dup
+    FROM fpt f2 JOIN canonfp c2 USING (fp)
+),
+canon AS (SELECT doc_id, text FROM ex WHERE NOT is_exact_dup),
+cnorm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM canon),
+ctok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM cnorm),
+ctokidx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(array_length(toks) - 2, 1))) AS i
+    FROM ctok
+),
+cgrams AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+    FROM ctokidx
+),
+mins AS (SELECT doc_id, {perms53} FROM cgrams GROUP BY doc_id),
+keys AS (SELECT doc_id, unnest([{bands53}]) AS band_key FROM mins),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keys a JOIN keys b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM cgrams GROUP BY doc_id),
+inter AS (
+    SELECT c3.id_a, c3.id_b, count(*) AS n_inter
+    FROM cand c3
+    JOIN cgrams ga ON ga.doc_id = c3.id_a
+    JOIN cgrams gb ON gb.doc_id = c3.id_b AND gb.g = ga.g
+    GROUP BY c3.id_a, c3.id_b
+),
+near AS (
+    SELECT DISTINCT id_b AS doc_id FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.6
+),
+tg8 AS (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= 8
+           THEN list_transform(range(0, len(toks) - 7),
+                  i -> array_to_string(toks[i+1 : i+8], ' '))
+           ELSE [array_to_string(toks, ' ')] END)) AS g8
+    FROM ctok
+),
+bnorm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t
+          FROM documents WHERE doc_id % 20 = 0),
+btok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM bnorm),
+bg8 AS (
+    SELECT doc_id, unnest(list_distinct(
+      CASE WHEN len(toks) >= 8
+           THEN list_transform(range(0, len(toks) - 7),
+                  i -> array_to_string(toks[i+1 : i+8], ' '))
+           ELSE [array_to_string(toks, ' ')] END)) AS g8
+    FROM btok
+),
+cpairs AS (
+    SELECT t.doc_id FROM tg8 t JOIN bg8 b2 USING (g8)
+    GROUP BY t.doc_id, b2.doc_id HAVING count(*) >= 3
+),
+contam AS (SELECT DISTINCT doc_id FROM cpairs)
+SELECT fu.doc_id,
+       CASE WHEN fu.verdict != 'keep' THEN fu.verdict
+            WHEN ex.is_exact_dup THEN 'exact_dup'
+            WHEN ne.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN co.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'keep' END AS verdict
+FROM funnel fu
+LEFT JOIN ex ON ex.doc_id = fu.doc_id
+LEFT JOIN near ne ON ne.doc_id = fu.doc_id
+LEFT JOIN contam co ON co.doc_id = fu.doc_id
 """,
         "q28_cc_exact_clusters": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)

@@ -262,3 +262,65 @@ def bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
+    pruning via embedding clusters — (id, cell, nn_sim, n_dups, keep).
+
+    Cluster the corpus into coarse cells (the IVF quantizer), compute
+    pairwise cosine only WITHIN each cell, and drop every vector that
+    has a sufficiently-similar cell-mate with a lower id (the greedy
+    lowest-id-representative policy: deterministic, one pass, and the
+    published SemDeDup recipe's "keep one per similar group" semantics
+    without an iterative clustering step; exact transitive resolution
+    is available by feeding the >=threshold pairs to
+    operators.clustering.cluster_edges instead). ``nn_sim`` is the max
+    cosine to any other cell member (-1.0 for singleton cells) — the
+    diagnostic the threshold is tuned against.
+
+    Scale shape: the only quadratic work is per-cell, bounded by cell
+    size — exactly the paper's trick; the cell id is a stored partition
+    column at 100 TB (written once at ingest), so each executor handles
+    whole cells with no cross-cell traffic, and the assignment itself
+    is a broadcast join. ``centroids`` defaults to the deterministic
+    zero-iteration ``ivf_train`` init so the whole operator is
+    SQL-oracle-expressible; pass Lloyd-trained centroids in production.
+    Replaces nothing in the reference (it has no embedding ops) — this
+    is part of the training-data-pipeline surface next to q30/q35/q39.
+    """
+    cents = centroids if centroids is not None else ivf_train(
+        vectors, n_centroids=n_centroids, iterations=0, id_col=id_col, vec_col=vec_col
+    )
+    a = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col)
+    l = a.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"), "cell")
+    r = a.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"), "cell")
+    pairs = (
+        l.join(r, "cell")
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    )
+    per_id = pairs.groupBy("id_a").agg(
+        F.max("cos").alias("nn_sim"),
+        F.sum((F.col("cos") >= F.lit(threshold)).cast("long")).alias("n_dups"),
+        F.max(
+            ((F.col("cos") >= F.lit(threshold)) & (F.col("id_b") < F.col("id_a"))).cast("int")
+        ).alias("has_lower_dup"),
+    )
+    return (
+        a.select(F.col("id").alias("id_a"), "cell")
+        .join(per_id, "id_a", "left")
+        .select(
+            F.col("id_a").alias(id_col),
+            "cell",
+            F.round(F.coalesce("nn_sim", F.lit(-1.0)), 6).alias("nn_sim"),
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            (F.coalesce("has_lower_dup", F.lit(0)) == 0).alias("keep"),
+        )
+    )
