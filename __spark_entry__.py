@@ -1025,6 +1025,89 @@ def q53_curate(spark, sf_dir):
     return curate(train, bench, "doc_id", "text")
 
 
+def q54_pii_scrub(spark, sf_dir):
+    """PII scrub (operators/privacy.py): redact emails / IPv4s / phone
+    numbers with codegen'd regexp_replace, counting what each rule
+    removed. Deterministic PII is spliced into the synthetic docs first
+    (doc_id-keyed CASE concat — both engines build the identical text)
+    so the rules have real matches to find. Single projection, zero
+    shuffles — a 100 TB scrub is scan-bandwidth-bound."""
+    from dedupe_spark.operators.privacy import pii_scrub
+
+    did = F.col("doc_id")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."), (did % 200).cast("string"),
+                    F.lit(".0."), (did % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" call 555-867-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "redacted", "n_email", "n_ipv4", "n_phone", "has_pii"
+    )
+
+
+def q55_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus sampling (operators/sampling.py):
+    keep rows whose md5-prefix falls under the stratum's hex threshold —
+    the same sample on every run and every cluster size, unlike
+    df.sample(). One codegen'd filter, no shuffle; at 100 TB the mixture
+    pass prunes at scan speed."""
+    from dedupe_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.125, "zh": 0.0625}
+    return stratified_sample(d, "doc_id", "lang", rates, default_rate=0.0).select(
+        "doc_id", "lang"
+    )
+
+
+def q56_transcript_lint(spark, sf_dir):
+    """Per-conversation structural lint (operators/transcript_qa.py):
+    non-user openings, same-role runs, empty turns, tool turns missing a
+    tool name, turn-index gaps. Turns are synthesized deterministically
+    from documents via the proven chunk_documents parity path (16-token
+    windows = turns) with doc_id-keyed corruptions so every defect class
+    has positives. One conv_id shuffle shared by the lag window and the
+    aggregation."""
+    from dedupe_spark.operators.dedup import chunk_documents
+    from dedupe_spark.operators.transcript_qa import transcript_lint
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=16)
+    did, c = F.col("doc_id"), F.col("chunk_idx")
+    turns = ch.select(
+        did.alias("conv_id"),
+        F.when((did % 17 == 0) & (c > 0), c + 1).otherwise(c).cast("long").alias("turn_idx"),
+        F.when((c % 4 == 3) & (did % 2 == 0), F.lit("tool"))
+        .when((c == 0) & (did % 11 == 0), F.lit("assistant"))
+        .when(c % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.when((did % 13 == 0) & (c % 5 == 4), F.lit("")).otherwise(
+            F.col("chunk_text")
+        ).alias("text"),
+        F.when(
+            (c % 4 == 3) & (did % 2 == 0) & (did % 6 != 0), F.lit("search")
+        ).alias("tool"),
+    )
+    return transcript_lint(turns)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1088,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_tfidf_top_terms": q51_tfidf_top_terms,
         "q52_semantic_dedup": q52_semantic_dedup,
         "q53_curate": q53_curate,
+        "q54_pii_scrub": q54_pii_scrub,
+        "q55_stratified_sample": q55_stratified_sample,
+        "q56_transcript_lint": q56_transcript_lint,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1227,6 +1313,102 @@ votes AS (
 SELECT doc_id,
        SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """q54 oracle: the identical PII splice (doc_id-keyed CASE concat)
+    and the identical rule cascade as operators/privacy.py — counts are
+    taken on the progressively-redacted text, replacements are global.
+    The patterns are lookaround-free so java.util.regex (Spark) and RE2
+    (DuckDB) agree."""
+    from dedupe_spark.operators.privacy import PII_RULES
+
+    (_, email, e_tok), (_, ipv4, i_tok), (_, phone, p_tok) = PII_RULES
+    return f"""
+WITH salted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{email}')) AS n_email,
+         regexp_replace(t, '{email}', '{e_tok}', 'g') AS t1
+  FROM salted
+),
+s2 AS (
+  SELECT doc_id, n_email, len(regexp_extract_all(t1, '{ipv4}')) AS n_ipv4,
+         regexp_replace(t1, '{ipv4}', '{i_tok}', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_email, n_ipv4, len(regexp_extract_all(t2, '{phone}')) AS n_phone,
+         regexp_replace(t2, '{phone}', '{p_tok}', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS redacted, n_email, n_ipv4, n_phone,
+       (n_email + n_ipv4 + n_phone) > 0 AS has_pii
+FROM s3
+"""
+
+
+def _lint_oracle_sql(chunk_tokens: int = 16) -> str:
+    """q56 oracle: the identical chunk-as-turn synthesis (the q34
+    chunking CTE pattern), the identical doc_id/chunk-keyed corruptions,
+    and the identical lag-window lint aggregation as
+    operators/transcript_qa.py:transcript_lint."""
+    W = chunk_tokens
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL.format(c='text')} AS t FROM documents),
+tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+chunkidx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, greatest(ceil(len(toks) / {W}.0)::BIGINT, 1) - 1)) AS c
+    FROM tok
+),
+turns AS (
+    SELECT doc_id AS conv_id,
+           CASE WHEN doc_id % 17 = 0 AND c > 0 THEN c + 1 ELSE c END AS turn_idx,
+           CASE WHEN c % 4 = 3 AND doc_id % 2 = 0 THEN 'tool'
+                WHEN c = 0 AND doc_id % 11 = 0 THEN 'assistant'
+                WHEN c % 2 = 0 THEN 'user'
+                ELSE 'assistant' END AS role,
+           CASE WHEN doc_id % 13 = 0 AND c % 5 = 4 THEN ''
+                ELSE array_to_string(list_slice(toks, c*{W} + 1, c*{W} + {W}), ' ') END AS text,
+           CASE WHEN c % 4 = 3 AND doc_id % 2 = 0 AND doc_id % 6 != 0
+                THEN 'search' END AS tool
+    FROM chunkidx
+),
+lagged AS (
+    SELECT *, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+    FROM turns
+),
+agg AS (
+    SELECT conv_id,
+           count(*) AS n_turns,
+           min_by(role, turn_idx) = 'user' AS starts_with_user,
+           sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS same_role_runs,
+           sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END) AS empty_turns,
+           sum(CASE WHEN role = 'tool' AND trim(coalesce(tool, '')) = '' THEN 1 ELSE 0 END)
+               AS orphan_tool_turns,
+           NOT (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
+                AND count(DISTINCT turn_idx) = count(*)) AS idx_gaps
+    FROM lagged GROUP BY conv_id
+)
+SELECT conv_id, n_turns, starts_with_user, same_role_runs, empty_turns,
+       orphan_tool_turns, idx_gaps,
+       (starts_with_user AND same_role_runs = 0 AND empty_turns = 0
+        AND orphan_tool_turns = 0 AND NOT idx_gaps) AS clean
+FROM agg
 """
 
 
@@ -1732,6 +1914,18 @@ LEFT JOIN ex ON ex.doc_id = fu.doc_id
 LEFT JOIN near ne ON ne.doc_id = fu.doc_id
 LEFT JOIN contam co ON co.doc_id = fu.doc_id
 """,
+        "q54_pii_scrub": _pii_oracle_sql(),
+        "q55_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000'
+                WHEN 'de' THEN '40000000'
+                WHEN 'fr' THEN '40000000'
+                WHEN 'es' THEN '20000000'
+                WHEN 'zh' THEN '10000000'
+                ELSE '00000000' END
+""",
+        "q56_transcript_lint": _lint_oracle_sql(),
         "q28_cc_exact_clusters": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)
 SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM fp
