@@ -1108,6 +1108,39 @@ def q56_transcript_lint(spark, sf_dir):
     return transcript_lint(turns)
 
 
+def q57_cross_corpus_dedup(spark, sf_dir):
+    """Corpus-merge probe (operators/dedup.py:cross_corpus_verdicts):
+    incoming docs (doc_id odd) checked against the base corpus (even) —
+    exact fp hit, MinHash band hit, or genuinely new. The reference's
+    registry lookup-or-insert lifted to corpus granularity; both probes
+    are key-only semi-joins, so the base side never ships text."""
+    from dedupe_spark.operators.dedup import cross_corpus_verdicts
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % 2 == 0)
+    incoming = d.where(F.col("doc_id") % 2 != 0)
+    return cross_corpus_verdicts(incoming, base, "doc_id", "text")
+
+
+def q58_source_profile(spark, sf_dir):
+    """Per-source corpus profiling: counts, char-length extremes/mean,
+    exact interpolated median and p90, language spread. One
+    map-side-combinable hash aggregate — profiling 100 TB costs one
+    scan. (percentile here is the exact linear-interpolation aggregate,
+    matching DuckDB's quantile_cont; at 10^12 rows you'd swap in
+    approx_percentile and accept the sketch bound.)"""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("median_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1174,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_pii_scrub": q54_pii_scrub,
         "q55_stratified_sample": q55_stratified_sample,
         "q56_transcript_lint": q56_transcript_lint,
+        "q57_cross_corpus_dedup": q57_cross_corpus_dedup,
+        "q58_source_profile": q58_source_profile,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1409,6 +1444,40 @@ SELECT conv_id, n_turns, starts_with_user, same_role_runs, empty_turns,
        (starts_with_user AND same_role_runs = 0 AND empty_turns = 0
         AND orphan_tool_turns = 0 AND NOT idx_gaps) AS clean
 FROM agg
+"""
+
+
+def _cross_corpus_oracle_sql(num_perm: int = 12, r: int = 2) -> str:
+    """q57 oracle: the identical fp + md5-family MinHash band keys as
+    operators/dedup.py:cross_corpus_verdicts, split into base (even
+    doc_id) and incoming (odd) at join time — per-doc signatures are
+    independent of the split."""
+    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(num_perm)]
+    band_keys = [
+        f"'b{b}:' || md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + ")"
+        for b in range(num_perm // r)
+    ]
+    return f"""
+WITH {_GRAMS3_SQL},
+fp AS (SELECT doc_id, md5(t) AS fp FROM norm),
+mins AS (SELECT doc_id, {', '.join(perms)} FROM grams GROUP BY doc_id),
+keys AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM mins),
+exact_ids AS (
+    SELECT DISTINCT i.doc_id FROM fp i JOIN fp b ON i.fp = b.fp
+    WHERE i.doc_id % 2 != 0 AND b.doc_id % 2 = 0
+),
+near_ids AS (
+    SELECT DISTINCT i.doc_id FROM keys i JOIN keys b ON i.band_key = b.band_key
+    WHERE i.doc_id % 2 != 0 AND b.doc_id % 2 = 0
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN n.doc_id IS NOT NULL THEN 'near'
+            ELSE 'new' END AS verdict
+FROM documents d
+LEFT JOIN exact_ids e ON e.doc_id = d.doc_id
+LEFT JOIN near_ids n ON n.doc_id = d.doc_id
+WHERE d.doc_id % 2 != 0
 """
 
 
@@ -1926,6 +1995,16 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
                 ELSE '00000000' END
 """,
         "q56_transcript_lint": _lint_oracle_sql(),
+        "q57_cross_corpus_dedup": _cross_corpus_oracle_sql(),
+        "q58_source_profile": """
+SELECT source, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents GROUP BY source
+""",
         "q28_cc_exact_clusters": f"""
 WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents)
 SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id FROM fp

@@ -366,6 +366,64 @@ def passage_dedup_stats(
     )
 
 
+def cross_corpus_verdicts(
+    incoming: DataFrame,
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 12,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Corpus-merge dedup: for each incoming doc, is it already in the
+    base corpus? Verdict per incoming id: ``exact`` (normalized
+    fingerprint exists in base), ``near`` (shares a MinHash/LSH band key
+    with a base doc, not exact), else ``new``.
+
+    This is the reference's incremental insert probe (lookup-or-insert
+    against the committed registry, /root/reference/src/deduplication.cpp
+    :509-580) lifted to corpus granularity — the question every corpus
+    refresh asks before appending a crawl snapshot to a 100 TB base.
+
+    Scale shape: two semi-joins keyed on fp / band_key — the base side
+    reduces to its distinct key sets (never the texts), both joins
+    shuffle only keys, and at scale the base key tables are exactly the
+    bucket-partitioned index tables ``pipeline.commit`` already lays
+    down (doc_index / doc_blocks), so the probe prunes to the buckets
+    the incoming batch touches. md5-family band keys -> exact SQL oracle.
+    """
+    inc_fp = incoming.select(
+        F.col(id_col).alias("id"),
+        F.md5(normalize_expr(F.col(text_col))).alias("fp"),
+    )
+    base_fp = base.select(
+        F.md5(normalize_expr(F.col(text_col))).alias("fp")
+    ).distinct()
+    exact_ids = inc_fp.join(base_fp, "fp", "left_semi").select("id")
+
+    inc_keys = minhash_band_keys_sql(incoming, id_col, text_col, num_perm, rows_per_band)
+    base_keys = minhash_band_keys_sql(
+        base, id_col, text_col, num_perm, rows_per_band
+    ).select("band_key").distinct()
+    near_ids = (
+        inc_keys.join(base_keys, "band_key", "left_semi").select("id").distinct()
+    )
+
+    ex = exact_ids.withColumn("_exact", F.lit(True))
+    ne = near_ids.withColumn("_near", F.lit(True))
+    return (
+        inc_fp.select("id")
+        .join(ex, "id", "left")
+        .join(ne, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("_exact"), "exact")
+            .when(F.col("_near"), "near")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -54,6 +54,15 @@ class PipelineConfig:
     # MinHash signature is never computed for them
     aac_policy: bool = True
     aac_exact_tool_frac: float = 0.6
+    # PII scrub BEFORE fingerprinting (operators/privacy.py): two turns
+    # differing only in an email/IP/phone still collide on their blocking
+    # key, and no raw identifier ever reaches a committed table. Pure
+    # codegen'd regex — the 10^12-turn cost is scan bandwidth
+    scrub_pii: bool = False
+    # per-conversation structural lint table (operators/transcript_qa.py),
+    # committed next to clusters so a broken conversation is visible
+    # before it becomes its cluster's canonical copy
+    lint: bool = False
     checkpoint_dir: str | None = None
     resume: bool = False
     # metrics cost ~6 extra jobs (counts); opt in when publishing a run
@@ -71,6 +80,7 @@ class PipelineResult:
     unique_turns: DataFrame
     membership: DataFrame
     metrics: DataFrame
+    lint: DataFrame | None = None
     persisted: list = field(default_factory=list)
 
     def release(self) -> None:
@@ -126,6 +136,17 @@ def run(
     cfg = config or PipelineConfig()
     spark = transcripts.sparkSession
     persisted: list[DataFrame] = []
+
+    # 0. optional per-turn hygiene, BEFORE any fingerprint/key derivation
+    lint_df = None
+    if cfg.lint:
+        from dedupe_spark.operators.transcript_qa import transcript_lint
+
+        lint_df = transcript_lint(transcripts)
+    if cfg.scrub_pii:
+        from dedupe_spark.operators.privacy import redact_expr
+
+        transcripts = transcripts.withColumn("text", redact_expr(F.col("text")))
 
     # 1. turn-level registry (exact dedup of turns, the reference's core)
     unique_turns, membership = lifecycle.register_turns(transcripts, deps=persisted)
@@ -211,6 +232,7 @@ def run(
         unique_turns=unique_turns,
         membership=membership,
         metrics=metrics,
+        lint=lint_df,
         persisted=persisted,
     )
     if catalog is not None:
@@ -268,6 +290,8 @@ def commit(result: PipelineResult, catalog: SnapshotCatalog) -> None:
     catalog.write("clusters", result.clusters)
     catalog.write("edges", result.edges)
     catalog.write("metrics", result.metrics)
+    if result.lint is not None:
+        catalog.write("lint", result.lint)
     # blocking-key index tables: what an incremental batch probes instead
     # of re-blocking the corpus (run_incremental). Both bucket-partitioned
     # like the registry so a probe prunes to the buckets it touches.

@@ -45,6 +45,12 @@ def main() -> None:
                     help="ambiguous-band second-stage scorer")
     ap.add_argument("--no-aac", action="store_true",
                     help="disable the tool-role-aware blocking-key policy (C4)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phones from turn text BEFORE "
+                         "fingerprinting (no raw identifier reaches the warehouse)")
+    ap.add_argument("--lint", action="store_true",
+                    help="commit a per-conversation structural-lint table "
+                         "(role runs, empty turns, orphan tools, index gaps)")
     ap.add_argument("--catalog", default="snapshot", choices=["snapshot", "iceberg"],
                     help="iceberg requires the runtime jar + catalog conf")
     ap.add_argument("--incremental", action="store_true",
@@ -127,6 +133,8 @@ def main() -> None:
         bloom_shards=args.bloom_shards,
         decider=args.decider,
         aac_policy=not args.no_aac,
+        scrub_pii=args.scrub_pii,
+        lint=args.lint,
     )
 
     t0 = time.time()

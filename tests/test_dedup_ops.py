@@ -232,3 +232,24 @@ def test_decontaminate_finds_overlap_and_broadcasts(spark):
     # without a shuffle on the big side
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cross_corpus_verdicts(spark):
+    from dedupe_spark.operators.dedup import cross_corpus_verdicts
+
+    doc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    base = spark.createDataFrame(
+        [(0, doc), (2, "unrelated base content about astronomy and telescopes tonight")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, doc.upper() + "!!"),                   # exact after normalization
+            (3, doc.replace("lazy", "sleepy")),        # near: one token differs
+            (5, "entirely novel subject matter with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["verdict"] for r in
+           cross_corpus_verdicts(incoming, base, "doc_id", "text").collect()}
+    assert got == {1: "exact", 3: "near", 5: "new"}
