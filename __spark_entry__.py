@@ -1141,6 +1141,56 @@ def q58_source_profile(spark, sf_dir):
     )
 
 
+_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q59_threshold_sweep(spark, sf_dir):
+    """Dedup sensitivity sweep: how many near-dup pairs (and removable
+    docs, keep-lowest-id) survive each Jaccard threshold. ONE exact
+    prefix-filtered similarity join at the loosest threshold feeds every
+    tighter cut — the sweep itself is a broadcast cross join against a
+    5-row threshold table + one hash agg, so tuning the dedup knob on
+    100 TB costs one candidate join, not five."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=min(_SWEEP_THRESHOLDS), deps=_QUERY_DEPS
+    )
+    th = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS], "threshold double")
+    hit = F.col("jaccard") >= F.col("threshold")
+    return (
+        pairs.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("id_b"))).alias("n_docs_removable"),
+        )
+    )
+
+
+def q60_cluster_size_histogram(spark, sf_dir):
+    """Exact-dup diagnostics: distribution of duplicate-cluster sizes
+    (normalized-fp groups) with the chars a keep-one policy saves per
+    size. Two map-side-combinable hash aggs — the shape package_stat
+    reporting takes at any corpus size (reference savings accounting,
+    /root/reference/src/deduplication.cpp:1860-1894)."""
+    from dedupe_spark.operators.dedup import normalize_expr
+
+    d = _t(spark, sf_dir, "documents")
+    clusters = d.select(
+        F.md5(normalize_expr(F.col("text"))).alias("fp"), F.col("n_chars")
+    ).groupBy("fp").agg(
+        F.count("*").alias("cluster_size"),
+        (F.sum("n_chars") - F.min("n_chars")).alias("chars_saved"),
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("chars_saved").alias("total_chars_saved"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1209,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_transcript_lint": q56_transcript_lint,
         "q57_cross_corpus_dedup": q57_cross_corpus_dedup,
         "q58_source_profile": q58_source_profile,
+        "q59_threshold_sweep": q59_threshold_sweep,
+        "q60_cluster_size_histogram": q60_cluster_size_histogram,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1996,6 +2048,36 @@ WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
 """,
         "q56_transcript_lint": _lint_oracle_sql(),
         "q57_cross_corpus_dedup": _cross_corpus_oracle_sql(),
+        "q59_threshold_sweep": f"""
+WITH {_GRAMS3_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b, n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.5
+)
+SELECT th AS threshold,
+       count(CASE WHEN jaccard >= th THEN 1 END) AS n_pairs,
+       count(DISTINCT CASE WHEN jaccard >= th THEN id_b END) AS n_docs_removable
+FROM pairs CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS th) t
+GROUP BY th
+""",
+        "q60_cluster_size_histogram": f"""
+WITH cl AS (
+    SELECT md5({_NORM_SQL.format(c='text')}) AS fp, count(*) AS cluster_size,
+           sum(n_chars) - min(n_chars) AS chars_saved
+    FROM documents GROUP BY 1
+)
+SELECT cluster_size, count(*) AS n_clusters, sum(chars_saved) AS total_chars_saved
+FROM cl GROUP BY cluster_size
+""",
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,
