@@ -1191,6 +1191,37 @@ def q60_cluster_size_histogram(spark, sf_dir):
     )
 
 
+def q61_blocking_quality(spark, sf_dir):
+    """Blocking-scheme pre-flight: reduction ratio + block-size stats for
+    a prefix blocking key (operators/blocking.py:blocking_quality). The
+    number you read BEFORE launching the candidate join at 100 TB —
+    the reference tunes the equivalent knob (chunk-size bucket bounds,
+    /root/reference/src/deduplication.cpp:985-1010) but never surfaces
+    the metric."""
+    from dedupe_spark.operators.blocking import blocking_quality
+    from dedupe_spark.operators.normalize import norm_text
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bkey", F.substring(norm_text("text"), 1, 16)
+    )
+    return blocking_quality(d, "doc_id", "bkey")
+
+
+def q62_sorted_neighborhood_pairs(spark, sf_dir):
+    """Sorted-neighborhood blocking (Hernandez-Stolfo): global order by a
+    normalized key prefix, pair each record with its window-1 successors.
+    The global sort uses the distributed dense-id operator (range
+    exchange + parallel windows), not a single-reducer row_number; the
+    neighbor step is an equi-join on rank+k."""
+    from dedupe_spark.operators.blocking import sorted_neighborhood_pairs
+    from dedupe_spark.operators.normalize import norm_text
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "bkey", F.substring(norm_text("text"), 1, 24)
+    )
+    return sorted_neighborhood_pairs(d, "doc_id", "bkey", window=3)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1261,6 +1292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_source_profile": q58_source_profile,
         "q59_threshold_sweep": q59_threshold_sweep,
         "q60_cluster_size_histogram": q60_cluster_size_histogram,
+        "q61_blocking_quality": q61_blocking_quality,
+        "q62_sorted_neighborhood_pairs": q62_sorted_neighborhood_pairs,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2077,6 +2110,31 @@ WITH cl AS (
 )
 SELECT cluster_size, count(*) AS n_clusters, sum(chars_saved) AS total_chars_saved
 FROM cl GROUP BY cluster_size
+""",
+        "q61_blocking_quality": f"""
+WITH keyed AS (
+    SELECT doc_id, substr({_NORM_SQL.format(c='text')}, 1, 16) AS k FROM documents
+),
+b AS (SELECT k, count(*) AS n FROM keyed GROUP BY k)
+SELECT CAST(sum(n) AS BIGINT) AS n_records,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(max(n) AS BIGINT) AS max_block,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_blocks,
+       CAST(sum(n * (n - 1)) / 2 AS BIGINT) AS candidate_pairs,
+       round(1.0 - (sum(n * (n - 1)) / 2.0)
+                   / (sum(n) * (sum(n) - 1) / 2.0), 6) AS reduction_ratio
+FROM b
+""",
+        "q62_sorted_neighborhood_pairs": f"""
+WITH keyed AS (
+    SELECT doc_id, substr({_NORM_SQL.format(c='text')}, 1, 24) AS k FROM documents
+),
+r AS (
+    SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1 AS rank FROM keyed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(b.rank - a.rank AS INT) AS rank_gap
+FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2
 """,
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
