@@ -1222,6 +1222,21 @@ def q62_sorted_neighborhood_pairs(spark, sf_dir):
     return sorted_neighborhood_pairs(d, "doc_id", "bkey", window=3)
 
 
+def q63_tfidf_cosine_pairs(spark, sf_dir):
+    """TF-IDF-weighted cosine pair scoring (operators/scoring.py:
+    tfidf_cosine_on_pairs) — rarity-weighted token overlap on the q36
+    deterministic consecutive-id pair set; candidates-first, the
+    quadratic all-pairs space never materializes."""
+    from dedupe_spark.operators.scoring import tfidf_cosine_on_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = d.select(F.col("doc_id").alias("id_a")).join(
+        d.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")),
+        "id_a",
+    )
+    return tfidf_cosine_on_pairs(d, pairs, "doc_id", "text")
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1294,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_cluster_size_histogram": q60_cluster_size_histogram,
         "q61_blocking_quality": q61_blocking_quality,
         "q62_sorted_neighborhood_pairs": q62_sorted_neighborhood_pairs,
+        "q63_tfidf_cosine_pairs": q63_tfidf_cosine_pairs,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2135,6 +2151,39 @@ r AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(b.rank - a.rank AS INT) AS rank_gap
 FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 2
+""",
+        "q63_tfidf_cosine_pairs": """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id AS id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, count(*)::BIGINT AS df_t FROM tf GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+w AS (
+  SELECT id, token, tf * ln(n_docs::DOUBLE / df_t) AS w
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+dots AS (
+  SELECT p.id_a, p.id_b, sum(wa.w * wb.w) AS dot
+  FROM pairs p
+  JOIN w wa ON wa.id = p.id_a
+  JOIN w wb ON wb.id = p.id_b AND wb.token = wa.token
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+                  THEN coalesce(dots.dot, 0) / (na.nrm * nb.nrm)
+                  ELSE 0 END, 6) AS tfidf_cosine
+FROM pairs p
+LEFT JOIN dots USING (id_a, id_b)
+JOIN norms na ON na.id = p.id_a
+JOIN norms nb ON nb.id = p.id_b
 """,
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
