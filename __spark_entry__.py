@@ -1237,6 +1237,136 @@ def q63_tfidf_cosine_pairs(spark, sf_dir):
     return tfidf_cosine_on_pairs(d, pairs, "doc_id", "text")
 
 
+_FS_PAIR_OFFSETS = (1, 13)  # +1 is near-dup-rich in the fixture, +13 mostly non-match
+
+
+def q64_fs_em_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage (operators/linkage.py): EM-fitted
+    per-field m/u weights over a deterministic candidate-pair set, posterior
+    match_prob + log2-Bayes-factor match_weight per pair. 3 EM iterations,
+    each exactly ONE map-side-combinable agg pass over the persisted gamma
+    table with the current parameters embedded as codegen literals (driver
+    state = a few dozen floats, like the CC loop's checksum). The learned
+    alternative to the reference's fixed thresholds
+    (/root/reference/src/deduplication.cpp:985-1178). Oracle: the identical
+    fixed-iteration EM unrolled into chained CTEs (_fs_em_oracle)."""
+    from dedupe_spark.operators.linkage import (
+        DOCUMENT_COMPARISONS,
+        document_comparison_vectors,
+        em_fellegi_sunter,
+    )
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select("doc_id")
+    pairs = None
+    for off in _FS_PAIR_OFFSETS:
+        p = ids.select(F.col("doc_id").alias("id_a")).join(
+            ids.select(
+                (F.col("doc_id") - off).alias("id_a"), F.col("doc_id").alias("id_b")
+            ),
+            "id_a",
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    gammas = document_comparison_vectors(d, pairs).persist()
+    _QUERY_DEPS.append(gammas)
+    _, scored = em_fellegi_sunter(gammas, DOCUMENT_COMPARISONS, iters=3)
+    return scored.select(
+        "id_a",
+        "id_b",
+        "gamma_text",
+        "gamma_lang",
+        "gamma_len",
+        F.round("match_prob", 6).alias("match_prob"),
+        F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
+    """Unroll the fixed-iteration Fellegi-Sunter EM into DuckDB CTEs from
+    the SAME Comparison specs the Spark operator uses — one params CTE per
+    iteration (a single row), one E-step CTE re-deriving the posterior, so
+    both engines execute the identical closed-form arithmetic."""
+    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
+
+    def m_case(c, t):
+        branches = " ".join(
+            f"WHEN {lvl} THEN {t}.m_{c.name}_{lvl}" for lvl in range(c.levels)
+        )
+        return f"CASE {c.name} {branches} END"
+
+    def u_case(c, t):
+        branches = " ".join(
+            f"WHEN {lvl} THEN {t}.u_{c.name}_{lvl}" for lvl in range(c.levels)
+        )
+        return f"CASE {c.name} {branches} END"
+
+    pair_branches = "\n  UNION ALL\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+        f"JOIN documents b ON b.doc_id = a.doc_id + {off}"
+        for off in _FS_PAIR_OFFSETS
+    )
+    init_cols = [f"CAST({init_lambda} AS DOUBLE) AS lam"]
+    for c in COMPS:
+        for lvl in range(c.levels):
+            init_cols.append(f"CAST({c.init_m[lvl]} AS DOUBLE) AS m_{c.name}_{lvl}")
+            init_cols.append(f"CAST({c.init_u[lvl]} AS DOUBLE) AS u_{c.name}_{lvl}")
+
+    ctes = [
+        f"p0 AS (\n{pair_branches}\n)",
+        (
+            "d AS (SELECT doc_id AS id,"
+            " list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,"
+            " lang, n_chars FROM documents)"
+        ),
+        (
+            "g AS (\n"
+            "  SELECT id_a, id_b,\n"
+            "    CASE WHEN jac >= 0.8 THEN 2 WHEN jac >= 0.3 THEN 1 ELSE 0 END AS gamma_text,\n"
+            "    CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS gamma_lang,\n"
+            "    CASE WHEN ldiff <= 8 THEN 2 WHEN ldiff <= 64 THEN 1 ELSE 0 END AS gamma_len\n"
+            "  FROM (\n"
+            "    SELECT p0.id_a, p0.id_b,\n"
+            "      len(list_intersect(da.toks, db.toks))::DOUBLE\n"
+            "        / len(list_distinct(list_concat(da.toks, db.toks))) AS jac,\n"
+            "      da.lang AS lang_a, db.lang AS lang_b,\n"
+            "      abs(da.n_chars - db.n_chars) AS ldiff\n"
+            "    FROM p0 JOIN d da ON da.id = p0.id_a JOIN d db ON db.id = p0.id_b\n"
+            "  )\n"
+            ")"
+        ),
+        "it0 AS (SELECT " + ", ".join(init_cols) + ")",
+    ]
+    for i in range(1, iters + 1):
+        mprod = " * ".join(m_case(c, "t") for c in COMPS)
+        uprod = " * ".join(u_case(c, "t") for c in COMPS)
+        ctes.append(
+            f"e{i} AS (\n"
+            f"  SELECT g.*, (t.lam * {mprod})\n"
+            f"    / (t.lam * {mprod} + (1 - t.lam) * {uprod}) AS prob\n"
+            f"  FROM g CROSS JOIN it{i - 1} t\n)"
+        )
+        upd = ["avg(prob) AS lam"]
+        for c in COMPS:
+            for lvl in range(c.levels):
+                ind = f"(CASE WHEN {c.name} = {lvl} THEN 1.0 ELSE 0.0 END)"
+                upd.append(f"sum(prob * {ind}) / sum(prob) AS m_{c.name}_{lvl}")
+                upd.append(f"sum((1 - prob) * {ind}) / sum(1 - prob) AS u_{c.name}_{lvl}")
+        ctes.append(f"it{i} AS (SELECT " + ",\n  ".join(upd) + f" FROM e{i})")
+
+    mprod = " * ".join(m_case(c, "t") for c in COMPS)
+    uprod = " * ".join(u_case(c, "t") for c in COMPS)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT g.id_a, g.id_b, g.gamma_text, g.gamma_lang, g.gamma_len,\n"
+        f"  round((t.lam * {mprod}) / (t.lam * {mprod} + (1 - t.lam) * {uprod}), 6)"
+        " AS match_prob,\n"
+        f"  CASE WHEN {uprod} > 0 AND {mprod} > 0"
+        f" THEN round(log2(({mprod}) / ({uprod})), 6) END AS match_weight\n"
+        f"FROM g CROSS JOIN it{iters} t"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1310,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_blocking_quality": q61_blocking_quality,
         "q62_sorted_neighborhood_pairs": q62_sorted_neighborhood_pairs,
         "q63_tfidf_cosine_pairs": q63_tfidf_cosine_pairs,
+        "q64_fs_em_linkage": q64_fs_em_linkage,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2185,6 +2316,7 @@ LEFT JOIN dots USING (id_a, id_b)
 JOIN norms na ON na.id = p.id_a
 JOIN norms nb ON nb.id = p.id_b
 """,
+        "q64_fs_em_linkage": _fs_em_oracle(),
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -1,0 +1,94 @@
+"""Fellegi-Sunter EM linkage: behavior on a planted-duplicate corpus.
+
+The q64 DuckDB-oracle parity (identical unrolled arithmetic) lives in
+test_entry_oracle.py; here the *model* is checked — does EM actually
+separate planted matches from non-matches, and are the fitted
+parameters proper probability vectors?
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedupe_spark.operators.linkage import (
+    DOCUMENT_COMPARISONS,
+    document_comparison_vectors,
+    em_fellegi_sunter,
+)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # 40 base docs; even ids get a near-identical twin at id+1000 (one
+    # token changed), odd ids get an unrelated partner — so pairs
+    # (i, i+1000) are half planted matches, half planted non-matches.
+    rows = []
+    for i in range(40):
+        text = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i} theta{i}"
+        lang = f"l{i % 3}"
+        rows.append((i, text, lang, len(text)))
+        if i % 2 == 0:
+            twin = text.replace(f"theta{i}", "omega")
+            rows.append((i + 1000, twin, lang, len(twin)))
+        else:
+            other = f"unrelated{i} words{i} entirely{i} different{i} corpus{i}"
+            rows.append((i + 1000, other, f"l{(i + 1) % 3}", len(other)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(40)], "id_a long, id_b long"
+    )
+    gammas = document_comparison_vectors(docs, pairs).persist()
+    params, out = em_fellegi_sunter(gammas, DOCUMENT_COMPARISONS, iters=5)
+    rows = {r["id_a"]: r for r in out.collect()}
+    gammas.unpersist()
+    return params, rows
+
+
+def test_params_are_probability_vectors(scored):
+    params, _ = scored
+    assert 0.0 < params["lambda"] < 1.0
+    for c in DOCUMENT_COMPARISONS:
+        for kind in ("m", "u"):
+            vec = params[f"{kind}_{c.name}"]
+            assert len(vec) == c.levels
+            assert all(v >= 0.0 for v in vec)
+            assert sum(vec) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_em_separates_planted_matches(scored):
+    params, rows = scored
+    match_probs = [rows[i]["match_prob"] for i in range(0, 40, 2)]
+    nonmatch_probs = [rows[i]["match_prob"] for i in range(1, 40, 2)]
+    # every planted twin outranks every planted non-match
+    assert min(match_probs) > max(nonmatch_probs)
+    assert min(match_probs) > 0.9
+    assert max(nonmatch_probs) < 0.1
+    # lambda approaches the planted match rate (0.5)
+    assert params["lambda"] == pytest.approx(0.5, abs=0.05)
+
+
+def test_match_weight_sign_agrees_with_prob(scored):
+    _, rows = scored
+    for r in rows.values():
+        # NULL weight = an m/u level collapsed to exactly 0 (infinite
+        # Bayes factor) — legal on a perfectly-separated corpus
+        if r["match_weight"] is None:
+            continue
+        if r["match_prob"] > 0.75:
+            assert r["match_weight"] > 0
+        if r["match_prob"] < 0.25:
+            assert r["match_weight"] < 0
+
+
+def test_higher_gamma_never_lowers_prob(scored):
+    """Posterior is monotone in each gamma when the fitted m/u are —
+    check the fitted text comparison orders its Bayes factors."""
+    params, _ = scored
+    m, u = params["m_gamma_text"], params["u_gamma_text"]
+    bf = [
+        (m[lvl] / u[lvl]) if u[lvl] > 0 else float("inf")
+        for lvl in range(3)
+        if m[lvl] + u[lvl] > 0
+    ]
+    assert bf == sorted(bf)
