@@ -1367,6 +1367,79 @@ def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
     )
 
 
+def q65_golden_records(spark, sf_dir):
+    """Survivorship (operators/canonical.py): merge each exact-dup
+    cluster (normalized-fp groups, cluster id = min doc_id) into one
+    golden record — longest text wins the canonical pick (tie: lowest
+    id), lang/source resolved to the cluster mode (tie: smallest value).
+    One cluster-keyed shuffle reused by every rule; the step AFTER the
+    reference's refcount bookkeeping (src/deduplication.cpp:612-637)
+    that a full ER pipeline needs."""
+    from dedupe_spark.operators.canonical import golden_records
+    from dedupe_spark.operators.dedup import normalize_expr
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    assign = d.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(normalize_expr(F.col("text")))))
+        .alias("cluster_id"),
+    )
+    return golden_records(d, assign)
+
+
+def q66_cluster_eval(spark, sf_dir):
+    """Extrinsic clustering quality (operators/evaluation.py): B-cubed
+    and pairwise precision/recall/F1 of the 4-plane hyperplane-LSH
+    buckets against the embeddings table's gold labels. Everything
+    reduces over the (pred, gold) contingency cells — no pair table is
+    materialized, so the metric costs three |clusters|-row shuffles at
+    any corpus size."""
+    from dedupe_spark.operators.dedup import _sign_bucket
+    from dedupe_spark.operators.evaluation import cluster_eval
+
+    e = _t(spark, sf_dir, "embeddings")
+    assign = e.select(
+        _sign_bucket(F.col("embedding"), planes=4).alias("pred"),
+        F.col("label").alias("gold"),
+    )
+    out = cluster_eval(assign, "pred", "gold")
+    return out.select(
+        "n_items",
+        *[
+            F.round(c, 6).alias(c)
+            for c in (
+                "b3_precision",
+                "b3_recall",
+                "b3_f1",
+                "pair_precision",
+                "pair_recall",
+                "pair_f1",
+            )
+        ],
+    )
+
+
+def q67_duplicated_spans(spark, sf_dir):
+    """Sub-document duplicated-span extraction (operators/dedup.py:
+    duplicated_spans) — ExactSubstr dedup (Lee et al. 2022) at 8-token
+    window resolution: overlapping rolling windows, cross-doc dup test
+    via ONE hash agg on the window string, maximal spans by
+    gaps-and-islands per doc. The spans a curation pipeline cuts out
+    instead of dropping whole documents."""
+    from dedupe_spark.operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicated_spans(d, "doc_id", "text", k=8)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1441,6 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_sorted_neighborhood_pairs": q62_sorted_neighborhood_pairs,
         "q63_tfidf_cosine_pairs": q63_tfidf_cosine_pairs,
         "q64_fs_em_linkage": q64_fs_em_linkage,
+        "q65_golden_records": q65_golden_records,
+        "q66_cluster_eval": q66_cluster_eval,
+        "q67_duplicated_spans": q67_duplicated_spans,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2317,6 +2393,103 @@ JOIN norms na ON na.id = p.id_a
 JOIN norms nb ON nb.id = p.id_b
 """,
         "q64_fs_em_linkage": _fs_em_oracle(),
+        "q65_golden_records": f"""
+WITH a AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         min(doc_id) OVER (PARTITION BY md5({_NORM_SQL.format(c='text')}))
+           AS cluster_id
+  FROM documents
+),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_id, text,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM a
+),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM a GROUP BY 1),
+lang_mode AS (
+  SELECT cluster_id, lang FROM (
+    SELECT cluster_id, lang,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC, lang ASC) AS rk
+    FROM a GROUP BY cluster_id, lang
+  ) WHERE rk = 1
+),
+source_mode AS (
+  SELECT cluster_id, source FROM (
+    SELECT cluster_id, source,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY count(*) DESC, source ASC) AS rk
+    FROM a GROUP BY cluster_id, source
+  ) WHERE rk = 1
+)
+SELECT s.cluster_id, s.cluster_size, c.canonical_id, c.text, l.lang, m.source
+FROM sizes s
+JOIN canon c ON c.cluster_id = s.cluster_id AND c.rk = 1
+JOIN lang_mode l ON l.cluster_id = s.cluster_id
+JOIN source_mode m ON m.cluster_id = s.cluster_id
+""",
+        "q66_cluster_eval": f"""
+WITH a AS (SELECT {_bucket_sql(4)} AS pred, label AS gold FROM embeddings),
+cells AS (SELECT pred, gold, count(*)::DOUBLE AS n_cell FROM a GROUP BY 1, 2),
+p AS (SELECT pred, sum(n_cell) AS n_pred FROM cells GROUP BY 1),
+g AS (SELECT gold, sum(n_cell) AS n_gold FROM cells GROUP BY 1),
+j AS (SELECT * FROM cells JOIN p USING (pred) JOIN g USING (gold)),
+t AS (
+  SELECT sum(n_cell) AS n_items,
+         sum(n_cell * n_cell / n_pred) / sum(n_cell) AS b3p,
+         sum(n_cell * n_cell / n_gold) / sum(n_cell) AS b3r,
+         sum(n_cell * (n_cell - 1) / 2) AS tp,
+         sum(n_pred * (n_pred - 1) / 2 * n_cell / n_pred) AS pp,
+         sum(n_gold * (n_gold - 1) / 2 * n_cell / n_gold) AS ap
+  FROM j
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       round(b3p, 6) AS b3_precision,
+       round(b3r, 6) AS b3_recall,
+       round(CASE WHEN b3p + b3r > 0 THEN 2 * b3p * b3r / (b3p + b3r) END, 6)
+         AS b3_f1,
+       round(CASE WHEN pp > 0 THEN tp / pp END, 6) AS pair_precision,
+       round(CASE WHEN ap > 0 THEN tp / ap END, 6) AS pair_recall,
+       round(CASE WHEN pp > 0 AND ap > 0 AND tp / pp + tp / ap > 0
+                  THEN 2 * (tp / pp) * (tp / ap) / (tp / pp + tp / ap) END, 6)
+         AS pair_f1
+FROM t
+""",
+        "q67_duplicated_spans": """
+WITH d AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+d2 AS (SELECT id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8),
+wins AS (
+  SELECT id, unnest(generate_series(1, n - 7)) AS start, toks
+  FROM d2
+),
+wtxt AS (
+  SELECT id, start, array_to_string(list_slice(toks, start, start + 7), ' ') AS win
+  FROM wins
+),
+dup AS (SELECT win FROM wtxt GROUP BY win HAVING count(DISTINCT id) >= 2),
+hits AS (SELECT w.id, w.start FROM wtxt w JOIN dup USING (win)),
+isl AS (
+  SELECT id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY start) IS NULL
+                OR start - lag(start) OVER (PARTITION BY id ORDER BY start) > 8
+              THEN 1 ELSE 0 END AS new_grp
+  FROM hits
+),
+grp AS (
+  SELECT id, start,
+         sum(new_grp) OVER (PARTITION BY id ORDER BY start) AS g
+  FROM isl
+)
+SELECT id AS doc_id,
+       CAST(min(start) AS BIGINT) AS span_start,
+       CAST(max(start) + 7 AS BIGINT) AS span_end,
+       CAST(max(start) - min(start) + 8 AS BIGINT) AS span_tokens
+FROM grp GROUP BY id, g
+""",
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -820,3 +820,69 @@ def _sign_bucket(v: Column, planes: int, dim: int = EMBEDDING_DIM) -> Column:
         )
         bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (the ExactSubstr
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 — approximated at k-token resolution).
+
+    The reference dedups only whole chunks (fixed/CDC blocks,
+    src/deduplication.cpp:985-1178); training-data curation also needs
+    the *sub-document* repeated passages (licenses, boilerplate,
+    memorized exam questions) so they can be cut out rather than the
+    whole document dropped. Suffix arrays don't distribute; the Spark
+    shape is rolling k-token windows:
+
+    1. every overlapping k-token window per doc (explode of a
+       ``sequence`` — pure codegen, O(tokens) rows per doc),
+    2. a window is *duplicated* iff its text occurs in >= 2 distinct
+       docs (one hash agg keyed on the window string),
+    3. per doc, adjacent/overlapping duplicated windows merge into
+       maximal spans (gaps-and-islands: lag + conditional cumsum over a
+       per-doc window — partitions bounded by doc length).
+
+    Returns (id, span_start, span_end, span_tokens): 1-based token
+    positions, span_tokens = covered token count. Exact-SQL-expressible
+    (q67), deterministic, no UDFs anywhere.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).where(
+        F.size("toks") >= k
+    )
+    wins = d.select(
+        "id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - k + 1)).alias("start"),
+        "toks",
+    ).select(
+        "id", "start", F.concat_ws(" ", F.slice("toks", F.col("start"), k)).alias("win")
+    )
+    dup_wins = (
+        wins.groupBy("win")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("win")
+    )
+    hits = wins.join(dup_wins, "win").select("id", "start")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("start")
+    islands = hits.withColumn(
+        "_new",
+        F.when(
+            F.lag("start").over(w).isNull()
+            | (F.col("start") - F.lag("start").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("_grp", F.sum("_new").over(w))
+    return islands.groupBy("id", "_grp").agg(
+        F.min("start").alias("span_start"),
+        (F.max("start") + k - 1).alias("span_end"),
+        (F.max("start") - F.min("start") + k).alias("span_tokens"),
+    ).select("id", "span_start", "span_end", "span_tokens")
