@@ -144,7 +144,12 @@ def main() -> None:
         "run_arrays": run_arrays,
         "extras": extras,
     }
-    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_EXTRAS.json")
+    # the versioned BENCH_EXTRAS.json is the driver-scale (sf0.1) artifact;
+    # smaller verify/dev runs get an sf-suffixed sidecar so they can never
+    # clobber the round's record
+    sf_tag = SF_DIR.rstrip("/").split("sf")[-1]
+    extras_name = "BENCH_EXTRAS.json" if sf_tag == "0.1" else f"BENCH_EXTRAS_sf{sf_tag}.json"
+    sidecar_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), extras_name)
     with open(sidecar_path, "w") as f:
         json.dump(sidecar, f, indent=1)
     out = {
@@ -152,9 +157,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": short_timings,
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "sf": sf_tag,
         "cpus": CPUS,
-        "extras_file": "BENCH_EXTRAS.json",
+        "extras_file": extras_name,
     }
     spark.stop()
     # the compact line is printed LAST, after spark.stop(), so no late

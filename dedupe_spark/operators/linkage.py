@@ -170,6 +170,8 @@ def em_fellegi_sunter(
                 aggs.append(F.sum(prob * ind).alias(f"pm_{c.name}_{lvl}"))
                 aggs.append(F.sum((F.lit(1.0) - prob) * ind).alias(f"pu_{c.name}_{lvl}"))
         row = gammas.agg(*aggs).collect()[0]
+        if row["lam"] is None:  # empty input: keep the priors, nothing to fit
+            break
         params = {"lambda": float(row["lam"])}
         for c in comparisons:
             params[f"m_{c.name}"] = [

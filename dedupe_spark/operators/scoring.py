@@ -296,6 +296,13 @@ def score_pairs(
         to release) so the pairs-join + jaccard subtree computes once,
         not once per branch; NULL-jaccard rows route to the cheap branch
         instead of failing both predicates and vanishing.
+      * ``"fellegi_sunter"``: the ambiguous-band accept threshold is
+        LEARNED, not hard-coded — the in-band pairs' (lev level, jaccard
+        sub-band, length-ratio band) comparison vectors are fit with the
+        EM of ``operators/linkage.py`` and a pair is accepted at
+        posterior match_prob >= 0.5. Cheap->expensive ordering is
+        preserved (only the band pays Levenshtein + three small agg
+        passes); clear accepts/rejects never enter the model.
 
     ``deps``: caches created here are appended for the caller to
     unpersist after its final action (the pipeline passes its
@@ -349,6 +356,17 @@ def score_pairs(
             "lev_ratio", F.lit(-1.0)
         )
         scored = amb.unionByName(rest)
+    elif decider == "fellegi_sunter":
+        scored = jacc.withColumn(
+            "lev_ratio",
+            F.when(in_band, lev_ratio_expr(F.col("doc_a"), F.col("doc_b"))).otherwise(
+                F.lit(-1.0)
+            ),
+        )
+        if deps is not None:
+            scored = scored.persist()
+            deps.append(scored)
+        return _fs_banded_decision(scored, in_band, deps=deps)
     else:
         accept = LEV_ACCEPT
         scored = jacc.withColumn(
@@ -366,6 +384,69 @@ def score_pairs(
             (F.col("jaccard") >= JACCARD_ACCEPT)
             | ((F.col("jaccard") >= JACCARD_GATE) & (F.col("lev_ratio") >= accept))
         ).alias("is_dup"),
+    )
+
+
+#: Ambiguous-band comparison levels for decider="fellegi_sunter".
+#: gamma_lev brackets LEV_ACCEPT (0.75) so EM can move the effective
+#: boundary a level up or down; inits are rough priors, EM re-estimates.
+_FS_LEV_CUTS = (0.85, 0.75, 0.65)
+_FS_LEN_CUTS = (0.95, 0.80)
+
+
+def _fs_banded_decision(scored: DataFrame, in_band, deps: list | None = None) -> DataFrame:
+    """decider="fellegi_sunter" second stage: EM-learn the ambiguous-band
+    accept rule from the band's own comparison-vector distribution.
+
+    Clear accepts (jaccard >= JACCARD_ACCEPT) and clear rejects
+    (jaccard < JACCARD_GATE) keep their threshold verdicts; only the
+    band is modeled. The EM fit is three single-row aggregate passes
+    over the (persisted) band — driver state is the parameter vector.
+    """
+    from dedupe_spark.operators.linkage import Comparison, em_fellegi_sunter
+
+    comparisons = (
+        Comparison("gamma_lev", 4, (0.02, 0.08, 0.30, 0.60), (0.55, 0.30, 0.12, 0.03)),
+        Comparison("gamma_jac", 2, (0.30, 0.70), (0.70, 0.30)),
+        Comparison("gamma_len", 3, (0.10, 0.30, 0.60), (0.50, 0.35, 0.15)),
+    )
+    hi, mid, lo = _FS_LEV_CUTS
+    len_hi, len_mid = _FS_LEN_CUTS
+    len_ratio = F.least("len_a", "len_b") / F.greatest("len_a", "len_b")
+    jac_mid = (JACCARD_GATE + JACCARD_ACCEPT) / 2.0
+    gammas = scored.where(in_band).select(
+        "id_a",
+        "id_b",
+        F.when(F.col("lev_ratio") >= hi, F.lit(3))
+        .when(F.col("lev_ratio") >= mid, F.lit(2))
+        .when(F.col("lev_ratio") >= lo, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gamma_lev"),
+        (F.col("jaccard") >= jac_mid).cast("int").alias("gamma_jac"),
+        F.when(len_ratio >= len_hi, F.lit(2))
+        .when(len_ratio >= len_mid, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gamma_len"),
+    )
+    if deps is not None:
+        gammas = gammas.persist()
+        deps.append(gammas)
+    _, fs_scored = em_fellegi_sunter(gammas, comparisons, iters=3)
+    band_verdict = fs_scored.select(
+        "id_a", "id_b", (F.col("match_prob") >= 0.5).alias("_fs_dup")
+    )
+    return (
+        scored.join(band_verdict, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "lev_ratio",
+            (
+                (F.col("jaccard") >= JACCARD_ACCEPT)
+                | F.coalesce(F.col("_fs_dup"), F.lit(False))
+            ).alias("is_dup"),
+        )
     )
 
 

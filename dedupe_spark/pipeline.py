@@ -36,9 +36,11 @@ class PipelineConfig:
     salt_threshold: int = blocking.DEFAULT_SALT_THRESHOLD
     salt_groups: int = blocking.DEFAULT_SALT_GROUPS
     min_len_ratio: float = scoring.MIN_LEN_RATIO
-    # ambiguous-band second-stage scorer: "levenshtein" (pure JVM, fastest)
-    # or "jaro_winkler" (batch-vectorized Arrow UDF — the north star's
-    # named scorer; same F1 on the labeled fixture, see test_scoring)
+    # ambiguous-band second-stage scorer: "levenshtein" (pure JVM, fastest),
+    # "jaro_winkler" (batch-vectorized Arrow UDF — the north star's named
+    # scorer; same F1 on the labeled fixture, see test_scoring), or
+    # "fellegi_sunter" (EM-learned accept rule over the band's comparison
+    # vectors, operators/linkage.py — no hand-tuned accept threshold)
     decider: str = "levenshtein"
     # "bloom" = explicit map-side Bloom pre-prune (functions/bloom.py);
     # "semi" = semi-join + Catalyst runtime bloom filter;

@@ -41,7 +41,8 @@ def main() -> None:
                          "filter; auto picks bloom while the bitmap fits the driver budget")
     ap.add_argument("--bloom-shards", type=int, default=1,
                     help="shard the bloom build (bounded per-shard aggregates)")
-    ap.add_argument("--decider", default="levenshtein", choices=["levenshtein", "jaro_winkler"],
+    ap.add_argument("--decider", default="levenshtein",
+                    choices=["levenshtein", "jaro_winkler", "fellegi_sunter"],
                     help="ambiguous-band second-stage scorer")
     ap.add_argument("--no-aac", action="store_true",
                     help="disable the tool-role-aware blocking-key policy (C4)")

@@ -54,6 +54,18 @@ def test_pairwise_f1_with_jaro_winkler_decider(spark, result):
     assert f1 >= 0.99, f"F1={f1:.4f} precision={prec:.4f} recall={rec:.4f}"
 
 
+def test_pairwise_f1_with_fellegi_sunter_decider(spark, result):
+    """The EM-learned ambiguous-band decider (operators/linkage.py via
+    decider="fellegi_sunter") meets the same F1 target WITHOUT a
+    hand-tuned accept threshold — the band's own comparison-vector
+    distribution determines the boundary."""
+    tr, _ = result
+    res = pipeline.run(tr, pipeline.PipelineConfig(decider="fellegi_sunter"))
+    f1, prec, rec = _f1(spark, res.clusters, N)
+    res.release()
+    assert f1 >= 0.99, f"F1={f1:.4f} precision={prec:.4f} recall={rec:.4f}"
+
+
 def test_clusters_match_expected_partition(spark, result):
     """Cluster assignment equals the injected clusters as a set partition
     (FIXTURES.md §3: compare up to relabeling; representative = min id,
