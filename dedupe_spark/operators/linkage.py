@@ -183,12 +183,25 @@ def em_fellegi_sunter(
                 for lvl in range(c.levels)
             ]
 
+    return params, score_with_params(gammas, comparisons, params)
+
+
+def score_with_params(
+    gammas: DataFrame,
+    comparisons: Sequence[Comparison],
+    params: dict,
+) -> DataFrame:
+    """Score a gamma table under an ALREADY-fitted parameter vector — the
+    incremental-ingest complement of ``em_fellegi_sunter``: fit once on
+    the base corpus, persist the (tiny) params next to the catalog
+    snapshot, then score each delta batch with zero additional EM passes.
+    Pure-codegen expression, parameters as literals, same output columns
+    as the fitting path (match_prob, match_weight)."""
     prob, prod_m, prod_u = _posterior_expr(comparisons, params)
     # on perfectly-separated corpora EM drives some m/u levels to exactly
     # 0; the Bayes factor is then +/-infinity — surface NULL, not an ANSI
     # divide-by-zero / log-of-zero (the posterior is still well-defined)
-    scored = gammas.withColumn("match_prob", prob).withColumn(
+    return gammas.withColumn("match_prob", prob).withColumn(
         "match_weight",
         F.when((prod_u > 0) & (prod_m > 0), F.log2(prod_m / prod_u)),
     )
-    return params, scored

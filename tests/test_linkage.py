@@ -92,3 +92,23 @@ def test_higher_gamma_never_lowers_prob(scored):
         if m[lvl] + u[lvl] > 0
     ]
     assert bf == sorted(bf)
+
+
+def test_score_with_params_matches_fit_scoring(spark, scored):
+    """Delta batches scored under the persisted params equal the fitting
+    path's own scoring — fit once, score forever."""
+    from dedupe_spark.operators.linkage import score_with_params
+
+    params, rows = scored
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha0 beta0 gamma0 delta0 epsilon0 zeta0 eta0 theta0", "l0", 54),
+            (2, "alpha0 beta0 gamma0 delta0 epsilon0 zeta0 eta0 omega", "l0", 53),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    g = document_comparison_vectors(docs, pairs)
+    (r,) = score_with_params(g, DOCUMENT_COMPARISONS, params).collect()
+    # near-identical twin under the fitted model -> confident match
+    assert r["match_prob"] > 0.9
