@@ -827,6 +827,7 @@ def duplicated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    fingerprint: str = "text",
 ) -> DataFrame:
     """Maximal cross-document duplicated token spans (the ExactSubstr
     dedup of Lee et al., "Deduplicating Training Data Makes Language
@@ -848,27 +849,45 @@ def duplicated_spans(
        per-doc window — partitions bounded by doc length).
 
     Returns (id, span_start, span_end, span_tokens): 1-based token
-    positions, span_tokens = covered token count. Exact-SQL-expressible
-    (q67), deterministic, no UDFs anywhere.
+    positions, span_tokens = covered token count. Deterministic, no UDFs
+    anywhere.
+
+    ``fingerprint``: shuffle-key representation for the window.
+      * ``"text"`` (default): the raw window string — exact,
+        SQL-expressible (the q67 oracle).
+      * ``"xxhash64"``: a 128-bit fingerprint from two seeded xxhash64
+        runs — the production path: the dup-count shuffle and the
+        hits join move 16 bytes per window instead of the window text,
+        which dominates bytes at corpus scale. Collision odds at 10^12
+        windows are ~2^-41 (birthday over 2^128); tested equal to the
+        text path on every fixture.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     d = docs.select(F.col(id_col).alias("id"), toks.alias("toks")).where(
         F.size("toks") >= k
     )
+    win = F.concat_ws(" ", F.slice("toks", F.col("start"), k))
+    if fingerprint == "xxhash64":
+        keys = [
+            F.xxhash64(F.lit("spanA"), win).alias("w1"),
+            F.xxhash64(F.lit("spanB"), win).alias("w2"),
+        ]
+        key_names = ["w1", "w2"]
+    else:
+        keys = [win.alias("w1")]
+        key_names = ["w1"]
     wins = d.select(
         "id",
         F.explode(F.sequence(F.lit(1), F.size("toks") - k + 1)).alias("start"),
         "toks",
-    ).select(
-        "id", "start", F.concat_ws(" ", F.slice("toks", F.col("start"), k)).alias("win")
-    )
+    ).select("id", "start", *keys)
     dup_wins = (
-        wins.groupBy("win")
+        wins.groupBy(*key_names)
         .agg(F.count_distinct("id").alias("n_docs"))
         .where(F.col("n_docs") >= 2)
-        .select("win")
+        .select(*key_names)
     )
-    hits = wins.join(dup_wins, "win").select("id", "start")
+    hits = wins.join(dup_wins, key_names).select("id", "start")
 
     from pyspark.sql import Window
 

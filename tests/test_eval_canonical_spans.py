@@ -148,3 +148,19 @@ def test_adjacent_windows_merge_disjoint_spans_split(spark):
 def test_docs_shorter_than_k_are_skipped(spark):
     docs = [(1, "a b"), (2, "a b")]
     assert _spans(spark, docs, k=4) == []
+
+
+def test_hash_fingerprint_path_equals_text_path(spark):
+    """The production 128-bit xxhash64 shuffle key yields the identical
+    span set as the exact window-string key."""
+    docs = [
+        (1, "a b c d e f g h gap1 gap2 gap3 gap4 gap5 p q r s"),
+        (2, "a b c d e f g h filler p q r s t u v"),
+        (3, "nothing shared with anyone here at all today ok"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = sorted(map(tuple, duplicated_spans(df, k=4).collect()))
+    hashed = sorted(
+        map(tuple, duplicated_spans(df, k=4, fingerprint="xxhash64").collect())
+    )
+    assert exact == hashed and len(exact) > 0
