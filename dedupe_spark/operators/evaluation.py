@@ -36,10 +36,17 @@ def cluster_eval(assign: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
     pair_recall, pair_f1. F1 terms are NULL when degenerate (no
     positive pairs on a side), never a divide-by-zero.
     """
+    from pyspark.sql import Window
+
+    # marginals as window sums over the (small) cell table, NOT re-
+    # aggregations of `assign`: re-deriving them from the assignment
+    # would scan the trillion-row table once per marginal (the first
+    # plan did exactly that — three parquet scans); this shape scans it
+    # once and every later step touches only |clusters| rows
     cells = assign.groupBy(pred_col, gold_col).agg(F.count("*").alias("n_cell"))
-    psize = cells.groupBy(pred_col).agg(F.sum("n_cell").alias("n_pred"))
-    gsize = cells.groupBy(gold_col).agg(F.sum("n_cell").alias("n_gold"))
-    j = cells.join(psize, pred_col).join(gsize, gold_col)
+    j = cells.withColumn(
+        "n_pred", F.sum("n_cell").over(Window.partitionBy(pred_col))
+    ).withColumn("n_gold", F.sum("n_cell").over(Window.partitionBy(gold_col)))
 
     def pairs(n):  # n choose 2, in doubles
         return F.col(n) * (F.col(n) - 1) / 2.0
