@@ -1440,6 +1440,22 @@ def q67_duplicated_spans(spark, sf_dir):
     )
 
 
+def q68_span_trimmed_docs(spark, sf_dir):
+    """The curation ACTION q67 enables (operators/dedup.py:remove_spans):
+    cut every cross-document duplicated 8-token span out of the text and
+    keep the unique remainder — span-level trim instead of whole-doc
+    drop (Lee et al. 2022). Spans collapse to one array per doc; the cut
+    is a higher-order-function filter over the token array, O(tokens)
+    per doc in codegen, no per-token row explosion on the Spark side."""
+    from dedupe_spark.operators.dedup import duplicated_spans, remove_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, "doc_id", "text", k=8)
+    return remove_spans(d, spans, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1517,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_golden_records": q65_golden_records,
         "q66_cluster_eval": q66_cluster_eval,
         "q67_duplicated_spans": q67_duplicated_spans,
+        "q68_span_trimmed_docs": q68_span_trimmed_docs,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2489,6 +2506,58 @@ SELECT id AS doc_id,
        CAST(max(start) + 7 AS BIGINT) AS span_end,
        CAST(max(start) - min(start) + 8 AS BIGINT) AS span_tokens
 FROM grp GROUP BY id, g
+""",
+        "q68_span_trimmed_docs": """
+WITH d AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+d2 AS (SELECT id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8),
+wins AS (
+  SELECT id, unnest(generate_series(1, n - 7)) AS start, toks
+  FROM d2
+),
+wtxt AS (
+  SELECT id, start, array_to_string(list_slice(toks, start, start + 7), ' ') AS win
+  FROM wins
+),
+dup AS (SELECT win FROM wtxt GROUP BY win HAVING count(DISTINCT id) >= 2),
+hits AS (SELECT w.id, w.start FROM wtxt w JOIN dup USING (win)),
+isl AS (
+  SELECT id, start,
+         CASE WHEN lag(start) OVER (PARTITION BY id ORDER BY start) IS NULL
+                OR start - lag(start) OVER (PARTITION BY id ORDER BY start) > 8
+              THEN 1 ELSE 0 END AS new_grp
+  FROM hits
+),
+grp AS (
+  SELECT id, start,
+         sum(new_grp) OVER (PARTITION BY id ORDER BY start) AS g
+  FROM isl
+),
+spans AS (
+  SELECT id, min(start) AS span_start, max(start) + 7 AS span_end
+  FROM grp GROUP BY id, g
+),
+pos AS (SELECT id, unnest(generate_series(1, len(toks))) AS p, toks FROM d),
+tok AS (SELECT id, p, toks[p] AS tok FROM pos),
+kept AS (
+  SELECT t.id, t.p, t.tok FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.id = t.id AND t.p BETWEEN s.span_start AND s.span_end
+  )
+),
+agg AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT d.id AS doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a USING (id)
 """,
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,

@@ -905,3 +905,52 @@ def duplicated_spans(
         (F.max("start") + k - 1).alias("span_end"),
         (F.max("start") - F.min("start") + k).alias("span_tokens"),
     ).select("id", "span_start", "span_end", "span_tokens")
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut token spans out of documents — the curation *action* that
+    ``duplicated_spans`` enables: trim the repeated passage, keep the
+    document (vs whole-doc dedup, which throws the unique remainder
+    away; Lee et al. 2022 measure the quality win of exactly this).
+
+    ``spans``: (id, span_start, span_end) — 1-based inclusive token
+    positions, e.g. ``duplicated_spans`` output, optionally filtered by
+    a keep-one-copy ownership policy first (cut nothing from a span's
+    canonical owner, cut everywhere else); this function applies
+    whatever spans it is given.
+
+    Shape: spans collapse to ONE array column per doc (hash agg), then
+    a single left join against the docs and a higher-order-function
+    filter over the token array — token positions never explode into
+    rows, so the cut is O(tokens) per doc inside whole-stage codegen,
+    and docs without spans pass through the join untouched.
+
+    Output: (id, clean_text, n_tokens, n_removed).
+    """
+    # spans carry the ``duplicated_spans`` output convention: key column
+    # "id" (already aliased from the docs' id), 1-based inclusive bounds
+    sp = spans.groupBy("id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = docs.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    empty = F.array().cast("array<struct<span_start:long,span_end:long>>")
+    covered = lambda i: F.exists(  # noqa: E731 — HOF helper, 1-based pos
+        F.coalesce(F.col("_spans"), empty),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+    )
+    kept = F.filter("_toks", lambda x, i: ~covered(i))
+    return (
+        d.join(sp, "id", "left")
+        .select(
+            "id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("_toks").cast("long").alias("n_tokens"),
+            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

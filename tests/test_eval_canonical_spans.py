@@ -164,3 +164,40 @@ def test_hash_fingerprint_path_equals_text_path(spark):
         map(tuple, duplicated_spans(df, k=4, fingerprint="xxhash64").collect())
     )
     assert exact == hashed and len(exact) > 0
+
+
+def test_remove_spans_cuts_only_covered_tokens(spark):
+    from dedupe_spark.operators.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8"), (2, "u1 u2 u3")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 5), (1, 7, 7)], "id long, span_start long, span_end long"
+    )
+    got = {r["id"]: r for r in remove_spans(docs, spans).collect()}
+    assert got[1]["clean_text"] == "t1 t2 t6 t8"
+    assert got[1]["n_tokens"] == 8 and got[1]["n_removed"] == 4
+    # span-free doc passes through untouched
+    assert got[2]["clean_text"] == "u1 u2 u3" and got[2]["n_removed"] == 0
+
+
+def test_remove_spans_keep_one_copy_policy(spark):
+    """Caller-side ownership: filter the span table to non-owner docs
+    before cutting — the canonical copy keeps its text."""
+    from dedupe_spark.operators.dedup import duplicated_spans, remove_spans
+
+    shared = "s1 s2 s3 s4"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} tail1 tail2"), (2, f"{shared} other3 other4")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=4)
+    owners = spans.groupBy("span_start", "span_end").agg(F.min("id").alias("owner"))
+    cut = spans.join(owners, ["span_start", "span_end"]).where(
+        F.col("id") != F.col("owner")
+    ).select("id", "span_start", "span_end")
+    got = {r["id"]: r for r in remove_spans(docs, cut).collect()}
+    assert got[1]["n_removed"] == 0  # owner keeps the span
+    assert got[2]["clean_text"] == "other3 other4"  # copy trimmed
