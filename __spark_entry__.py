@@ -1456,6 +1456,91 @@ def q68_span_trimmed_docs(spark, sf_dir):
     )
 
 
+def q69_monge_elkan_pairs(spark, sf_dir):
+    """Monge-Elkan/JW scoring (operators/scoring.py:monge_elkan_on_pairs)
+    over a within-brand rank-neighborhood pair set: multi-word part names
+    compared token-by-token (mean-of-max Jaro-Winkler, both directions +
+    symmetric mean). Pair generation is an equi-join on (brand, rank+gap)
+    — linear in rows, never the per-brand cross product; scoring is one
+    Arrow batch per direction through the same vectorized JW kernel the
+    pipeline decider uses."""
+    from pyspark.sql import Window
+
+    from dedupe_spark.operators.scoring import monge_elkan_on_pairs
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("nm"),
+    )
+    r = p.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("brand").orderBy("k"))
+    )
+    a = (
+        r.select(
+            "brand",
+            F.col("k").alias("key_a"),
+            F.col("nm").alias("name_a"),
+            "rnk",
+            F.explode(F.array(F.lit(1), F.lit(2))).alias("gap"),
+        )
+        .withColumn("rnk_b", F.col("rnk") + F.col("gap"))
+        .drop("rnk", "gap")
+    )
+    b = r.select(
+        "brand",
+        F.col("k").alias("key_b"),
+        F.col("nm").alias("name_b"),
+        F.col("rnk").alias("rnk_b"),
+    )
+    pairs = a.join(b, ["brand", "rnk_b"])
+    return monge_elkan_on_pairs(pairs).select(
+        "key_a",
+        "key_b",
+        F.round("me_ab", 6).alias("me_ab"),
+        F.round("me_ba", 6).alias("me_ba"),
+        F.round("me_sym", 6).alias("me_sym"),
+    )
+
+
+def q70_meta_blocking(spark, sf_dir):
+    """Meta-blocking with CBS weights + weighted node pruning
+    (operators/blocking.py:meta_blocking_wnp) over shared-8-gram blocks:
+    purge out-of-band blocks, weight each co-occurring doc pair by how
+    many blocks it shares, keep edges that reach either endpoint's mean
+    weight. Block purging caps per-key fan-out BEFORE the pair join, so
+    the quadratic blow-up meta-blocking exists to kill never forms."""
+    from dedupe_spark.operators.blocking import meta_blocking_wnp
+    from dedupe_spark.operators.dedup import token_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(token_ngrams(F.col("text"), 8))).alias("key"),
+    )
+    return meta_blocking_wnp(grams, "id", "key", min_block=2, max_block=10)
+
+
+def q71_phonetic_blocking(spark, sf_dir):
+    """Phonetic blocking: Soundex codes over the part-name vocabulary,
+    emitting the sound-alike word pairs each code groups (the classic
+    ER blocking key for typo'd names). Spark side is the built-in
+    codegen ``F.soundex``; the DuckDB oracle replicates the algorithm
+    as a SQL expression chain (functions/phonetic.py:soundex_sql, the
+    engines' agreement is property-tested in tests/test_phonetic.py)."""
+    words = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.trim(F.col("p_name")), r"\s+")).alias("w"))
+        .distinct()
+    )
+    sx = words.withColumn("code", F.soundex("w"))
+    a = sx.select("code", F.col("w").alias("w_a"))
+    b = sx.select("code", F.col("w").alias("w_b"))
+    return a.join(b, "code").where(F.col("w_a") < F.col("w_b")).select(
+        "code", "w_a", "w_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1534,6 +1619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_cluster_eval": q66_cluster_eval,
         "q67_duplicated_spans": q67_duplicated_spans,
         "q68_span_trimmed_docs": q68_span_trimmed_docs,
+        "q69_monge_elkan_pairs": q69_monge_elkan_pairs,
+        "q70_meta_blocking": q70_meta_blocking,
+        "q71_phonetic_blocking": q71_phonetic_blocking,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -1807,6 +1895,8 @@ WHERE d.doc_id % 2 != 0
 
 
 def oracle_sql() -> dict[str, str]:
+    from dedupe_spark.functions.phonetic import soundex_sql as _soundex_sql
+
     stop_sum = " + ".join(
         f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
         for w in ["the", "and", "of", "to", "is", "in", "a", "for", "on", "with"]
@@ -2558,6 +2648,85 @@ SELECT d.id AS doc_id,
        CAST(len(d.toks) AS BIGINT) AS n_tokens,
        CAST(len(d.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM d LEFT JOIN agg a USING (id)
+""",
+        "q69_monge_elkan_pairs": """
+WITH p AS (
+  SELECT p_partkey AS k, p_brand AS brand, p_name AS nm,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey) AS rnk
+  FROM part
+),
+pairs AS (
+  SELECT a.k AS key_a, b.k AS key_b,
+         regexp_split_to_array(trim(a.nm), '\\s+') AS ta,
+         regexp_split_to_array(trim(b.nm), '\\s+') AS tb
+  FROM p a JOIN p b
+    ON a.brand = b.brand AND b.rnk BETWEEN a.rnk + 1 AND a.rnk + 2
+),
+tok AS (
+  SELECT key_a, key_b, 'ab' AS dir,
+         unnest(generate_series(1, len(ta))) AS i, ta, tb
+  FROM pairs
+  UNION ALL
+  SELECT key_a, key_b, 'ba',
+         unnest(generate_series(1, len(tb))), tb, ta
+  FROM pairs
+),
+crossed AS (
+  SELECT key_a, key_b, dir, i, ta[i] AS t, unnest(tb) AS u
+  FROM tok
+),
+mx AS (
+  SELECT key_a, key_b, dir, i, max(jaro_winkler_similarity(t, u)) AS m
+  FROM crossed GROUP BY key_a, key_b, dir, i
+),
+d AS (SELECT key_a, key_b, dir, avg(m) AS me FROM mx GROUP BY key_a, key_b, dir),
+w AS (
+  SELECT key_a, key_b,
+         max(CASE WHEN dir = 'ab' THEN me END) AS me_ab,
+         max(CASE WHEN dir = 'ba' THEN me END) AS me_ba
+  FROM d GROUP BY key_a, key_b
+)
+SELECT key_a, key_b, round(me_ab, 6) AS me_ab, round(me_ba, 6) AS me_ba,
+       round((me_ab + me_ba) / 2, 6) AS me_sym
+FROM w
+""",
+        "q70_meta_blocking": """
+WITH d AS (
+  SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+d2 AS (SELECT id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8),
+wins AS (SELECT id, unnest(generate_series(1, n - 7)) AS start, toks FROM d2),
+keys AS (
+  SELECT DISTINCT id, array_to_string(list_slice(toks, start, start + 7), ' ') AS key
+  FROM wins
+),
+kept AS (
+  SELECT key FROM keys GROUP BY key
+  HAVING count(DISTINCT id) BETWEEN 2 AND 10
+),
+live AS (SELECT k.id, k.key FROM keys k JOIN kept USING (key)),
+w AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS w
+  FROM live a JOIN live b ON a.key = b.key AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+ends AS (SELECT id_a AS id, w FROM w UNION ALL SELECT id_b, w FROM w),
+avgs AS (SELECT id, avg(w) AS aw FROM ends GROUP BY id)
+SELECT w.id_a, w.id_b, w.w
+FROM w
+JOIN avgs x ON x.id = w.id_a
+JOIN avgs y ON y.id = w.id_b
+WHERE w.w >= x.aw OR w.w >= y.aw
+""",
+        "q71_phonetic_blocking": f"""
+WITH wrds AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(trim(p_name), '\\s+')) AS w
+  FROM part
+),
+sx AS (SELECT w, {_soundex_sql("w")} AS code FROM wrds)
+SELECT a.code, a.w AS w_a, b.w AS w_b
+FROM sx a JOIN sx b ON a.code = b.code AND a.w < b.w
 """,
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,

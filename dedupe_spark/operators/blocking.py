@@ -281,3 +281,60 @@ def sorted_neighborhood_pairs(
     ).select("id_a", "rank_gap", (F.col("rank") + F.col("rank_gap")).alias("rank_b"))
     b = ranked.select(F.col("id").alias("id_b"), F.col("rank").alias("rank_b"))
     return a.join(b, "rank_b").select("id_a", "id_b", "rank_gap")
+
+
+def meta_blocking_wnp(
+    assignments: DataFrame,
+    id_col: str = "id",
+    key_col: str = "key",
+    min_block: int = 2,
+    max_block: int = 10,
+) -> DataFrame:
+    """Meta-blocking with CBS weighting + weighted node pruning
+    (Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the
+    Next Level", TKDE 2014 — public). Input is any (entity, block-key)
+    assignment table; output is the pruned candidate-pair graph.
+
+    Stages, all codegen'd aggregations — no Python, no driver state:
+
+    1. **block purging**: drop keys outside [min_block, max_block]
+       distinct entities (singleton blocks pair nothing; mega-blocks are
+       the quadratic skew the technique exists to remove).
+    2. **edge weighting**: pairs (a<b) per surviving block, CBS weight =
+       number of shared blocks (one hash agg over the pair key).
+    3. **weighted node pruning**: keep an edge iff its weight reaches
+       the mean edge weight of EITHER endpoint (the redefined-WNP OR
+       rule — each node retains its locally-strong edges).
+
+    Scale shape: stage 2's self-join shuffles on the block key with the
+    block size capped by ``max_block``, so per-key fan-out is bounded
+    (<= max_block^2/2 pairs) — skew is handled by construction, before
+    AQE ever sees it. Node means are integer sums / counts: exact in
+    double, so the Spark/DuckDB verdicts agree bit-for-bit.
+    """
+    a = assignments.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    sizes = a.groupBy("key").agg(F.count_distinct("id").alias("n"))
+    kept = sizes.where((F.col("n") >= min_block) & (F.col("n") <= max_block))
+    live = a.join(kept.select("key"), "key").distinct()
+
+    left = live.select("key", F.col("id").alias("id_a"))
+    right = live.select("key", F.col("id").alias("id_b"))
+    w = (
+        left.join(right, "key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+
+    ends = w.select(F.col("id_a").alias("id"), "w").unionAll(
+        w.select(F.col("id_b").alias("id"), "w")
+    )
+    node_avg = ends.groupBy("id").agg(F.avg("w").alias("avg_w"))
+    aa = node_avg.select(F.col("id").alias("id_a"), F.col("avg_w").alias("avg_a"))
+    bb = node_avg.select(F.col("id").alias("id_b"), F.col("avg_w").alias("avg_b"))
+    return (
+        w.join(aa, "id_a")
+        .join(bb, "id_b")
+        .where((F.col("w") >= F.col("avg_a")) | (F.col("w") >= F.col("avg_b")))
+        .select("id_a", "id_b", "w")
+    )
