@@ -1240,6 +1240,22 @@ def q63_tfidf_cosine_pairs(spark, sf_dir):
 _FS_PAIR_OFFSETS = (1, 13)  # +1 is near-dup-rich in the fixture, +13 mostly non-match
 
 
+def _fs_offset_pairs(ids: DataFrame) -> DataFrame:
+    """Deterministic candidate pairs for the linkage queries: (id, id +
+    off) for each _FS_PAIR_OFFSETS — a near-dup-rich branch and a
+    mostly-non-match branch so EM sees both classes."""
+    pairs = None
+    for off in _FS_PAIR_OFFSETS:
+        p = ids.select(F.col("doc_id").alias("id_a")).join(
+            ids.select(
+                (F.col("doc_id") - off).alias("id_a"), F.col("doc_id").alias("id_b")
+            ),
+            "id_a",
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs
+
+
 def q64_fs_em_linkage(spark, sf_dir):
     """Fellegi-Sunter probabilistic linkage (operators/linkage.py): EM-fitted
     per-field m/u weights over a deterministic candidate-pair set, posterior
@@ -1258,17 +1274,7 @@ def q64_fs_em_linkage(spark, sf_dir):
 
     release_query_caches()
     d = _t(spark, sf_dir, "documents")
-    ids = d.select("doc_id")
-    pairs = None
-    for off in _FS_PAIR_OFFSETS:
-        p = ids.select(F.col("doc_id").alias("id_a")).join(
-            ids.select(
-                (F.col("doc_id") - off).alias("id_a"), F.col("doc_id").alias("id_b")
-            ),
-            "id_a",
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    gammas = document_comparison_vectors(d, pairs).persist()
+    gammas = document_comparison_vectors(d, _fs_offset_pairs(d.select("doc_id"))).persist()
     _QUERY_DEPS.append(gammas)
     _, scored = em_fellegi_sunter(gammas, DOCUMENT_COMPARISONS, iters=3)
     return scored.select(
@@ -1279,6 +1285,81 @@ def q64_fs_em_linkage(spark, sf_dir):
         "gamma_len",
         F.round("match_prob", 6).alias("match_prob"),
         F.round("match_weight", 6).alias("match_weight"),
+    )
+
+
+def _fs_gamma_ctes(keep_lang: bool = False) -> list[str]:
+    """Shared DuckDB CTEs replicating _fs_offset_pairs +
+    linkage.document_comparison_vectors: the p0 candidate-pair CTE, the
+    tokenized d CTE, and the g gamma CTE (optionally carrying the a-side
+    lang for term-frequency adjustment)."""
+    pair_branches = "\n  UNION ALL\n".join(
+        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
+        f"JOIN documents b ON b.doc_id = a.doc_id + {off}"
+        for off in _FS_PAIR_OFFSETS
+    )
+    lang_col = ",\n    lang_a AS lang" if keep_lang else ""
+    return [
+        f"p0 AS (\n{pair_branches}\n)",
+        (
+            "d AS (SELECT doc_id AS id,"
+            " list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,"
+            " lang, n_chars FROM documents)"
+        ),
+        (
+            "g AS (\n"
+            "  SELECT id_a, id_b,\n"
+            "    CASE WHEN jac >= 0.8 THEN 2 WHEN jac >= 0.3 THEN 1 ELSE 0 END AS gamma_text,\n"
+            "    CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS gamma_lang,\n"
+            "    CASE WHEN ldiff <= 8 THEN 2 WHEN ldiff <= 64 THEN 1 ELSE 0 END AS gamma_len"
+            f"{lang_col}\n"
+            "  FROM (\n"
+            "    SELECT p0.id_a, p0.id_b,\n"
+            "      len(list_intersect(da.toks, db.toks))::DOUBLE\n"
+            "        / len(list_distinct(list_concat(da.toks, db.toks))) AS jac,\n"
+            "      da.lang AS lang_a, db.lang AS lang_b,\n"
+            "      abs(da.n_chars - db.n_chars) AS ldiff\n"
+            "    FROM p0 JOIN d da ON da.id = p0.id_a JOIN d db ON db.id = p0.id_b\n"
+            "  )\n"
+            ")"
+        ),
+    ]
+
+
+def _fs_tf_oracle() -> str:
+    """q73 oracle: score the gamma table under the literal prior
+    parameters (no EM) and add the value-specific term-frequency
+    adjustment on lang — the same closed-form arithmetic
+    linkage.score_with_params + tf_adjusted_weights evaluate."""
+    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
+
+    def case(c, probs):
+        branches = " ".join(
+            f"WHEN {lvl} THEN CAST({float(probs[lvl])} AS DOUBLE)"
+            for lvl in range(c.levels)
+        )
+        return f"(CASE {c.name} {branches} END)"
+
+    mprod = " * ".join(case(c, c.init_m) for c in COMPS)
+    uprod = " * ".join(case(c, c.init_u) for c in COMPS)
+    u_agree = float(next(c for c in COMPS if c.name == "gamma_lang").init_u[1])
+    ctes = _fs_gamma_ctes(keep_lang=True) + [
+        (
+            "tf AS (SELECT lang, count(*)::DOUBLE /"
+            " (SELECT count(*) FROM documents) AS tf FROM documents GROUP BY lang)"
+        )
+    ]
+    weight = f"log2(({mprod}) / ({uprod}))"
+    adj = (
+        f"CASE WHEN g.gamma_lang = 1 AND tf.tf IS NOT NULL AND tf.tf > 0"
+        f" THEN log2(CAST({u_agree} AS DOUBLE) / tf.tf) ELSE 0.0 END"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT g.id_a, g.id_b, g.lang, g.gamma_lang,\n"
+        f"  round({weight}, 6) AS match_weight,\n"
+        f"  round({weight} + {adj}, 6) AS tf_adj_weight\n"
+        "FROM g LEFT JOIN tf ON tf.lang = g.lang"
     )
 
 
@@ -1301,42 +1382,13 @@ def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
         )
         return f"CASE {c.name} {branches} END"
 
-    pair_branches = "\n  UNION ALL\n".join(
-        f"  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM documents a "
-        f"JOIN documents b ON b.doc_id = a.doc_id + {off}"
-        for off in _FS_PAIR_OFFSETS
-    )
     init_cols = [f"CAST({init_lambda} AS DOUBLE) AS lam"]
     for c in COMPS:
         for lvl in range(c.levels):
             init_cols.append(f"CAST({c.init_m[lvl]} AS DOUBLE) AS m_{c.name}_{lvl}")
             init_cols.append(f"CAST({c.init_u[lvl]} AS DOUBLE) AS u_{c.name}_{lvl}")
 
-    ctes = [
-        f"p0 AS (\n{pair_branches}\n)",
-        (
-            "d AS (SELECT doc_id AS id,"
-            " list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks,"
-            " lang, n_chars FROM documents)"
-        ),
-        (
-            "g AS (\n"
-            "  SELECT id_a, id_b,\n"
-            "    CASE WHEN jac >= 0.8 THEN 2 WHEN jac >= 0.3 THEN 1 ELSE 0 END AS gamma_text,\n"
-            "    CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS gamma_lang,\n"
-            "    CASE WHEN ldiff <= 8 THEN 2 WHEN ldiff <= 64 THEN 1 ELSE 0 END AS gamma_len\n"
-            "  FROM (\n"
-            "    SELECT p0.id_a, p0.id_b,\n"
-            "      len(list_intersect(da.toks, db.toks))::DOUBLE\n"
-            "        / len(list_distinct(list_concat(da.toks, db.toks))) AS jac,\n"
-            "      da.lang AS lang_a, db.lang AS lang_b,\n"
-            "      abs(da.n_chars - db.n_chars) AS ldiff\n"
-            "    FROM p0 JOIN d da ON da.id = p0.id_a JOIN d db ON db.id = p0.id_b\n"
-            "  )\n"
-            ")"
-        ),
-        "it0 AS (SELECT " + ", ".join(init_cols) + ")",
-    ]
+    ctes = _fs_gamma_ctes() + ["it0 AS (SELECT " + ", ".join(init_cols) + ")"]
     for i in range(1, iters + 1):
         mprod = " * ".join(m_case(c, "t") for c in COMPS)
         uprod = " * ".join(u_case(c, "t") for c in COMPS)
@@ -1509,15 +1561,29 @@ def q70_meta_blocking(spark, sf_dir):
     purge out-of-band blocks, weight each co-occurring doc pair by how
     many blocks it shares, keep edges that reach either endpoint's mean
     weight. Block purging caps per-key fan-out BEFORE the pair join, so
-    the quadratic blow-up meta-blocking exists to kill never forms."""
+    the quadratic blow-up meta-blocking exists to kill never forms.
+
+    Keys are mod-p-selected 8-grams (Broder '97 shingle selection: keep
+    a gram iff its hash lands in a fixed 1/8 slice — here md5 hex prefix
+    '0'/'1') — the standard way to bound keys-per-entity BEFORE the
+    shuffle; co-occurring docs still share the same selected grams, so
+    block recall degrades gracefully while shuffle volume drops 8x."""
     from dedupe_spark.operators.blocking import meta_blocking_wnp
     from dedupe_spark.operators.dedup import token_ngrams
 
-    d = _t(spark, sf_dir, "documents")
+    release_query_caches()
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     grams = d.select(
         F.col("doc_id").alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col("text"), 8))).alias("key"),
-    )
+    ).where(F.substring(F.md5(F.col("key")), 1, 1).isin("0", "1"))
+    # persisted EAGERLY: the WNP graph reads the assignment table from
+    # four branches (block sizes, live join, both pair-join sides) that
+    # AQE materializes concurrently — a lazy persist would race its own
+    # fill and every branch would re-run the 8-gram string build
+    grams = grams.persist()
+    grams.count()
+    _QUERY_DEPS.append(grams)
     return meta_blocking_wnp(grams, "id", "key", min_block=2, max_block=10)
 
 
@@ -1538,6 +1604,84 @@ def q71_phonetic_blocking(spark, sf_dir):
     b = sx.select("code", F.col("w").alias("w_b"))
     return a.join(b, "code").where(F.col("w_a") < F.col("w_b")).select(
         "code", "w_a", "w_b"
+    )
+
+
+def q72_one_to_one_linkage(spark, sf_dir):
+    """Bipartite record linkage with one-to-one assignment
+    (operators/linkage.py:reciprocal_best_links): split the corpus into
+    left (even doc_id) / right (odd) datasets, generate cross-side
+    candidates with the exact prefix-filtered n-gram Jaccard join, then
+    keep (a, b) iff b is a's best-scoring candidate AND a is b's (ties
+    to the smaller partner id). The A<->B linkage mode the dedup-only
+    reference lacks (its registry is lookup-or-insert,
+    /root/reference/src/deduplication.cpp:1405-1417); assignment costs
+    two row_number windows over the candidate pairs only — the entity
+    tables never re-shuffle and no iterative matching rounds run."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from dedupe_spark.operators.linkage import reciprocal_best_links
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.6, deps=_QUERY_DEPS
+    )
+    even_a = F.col("id_a") % 2 == 0
+    cross = pairs.where((F.col("id_a") % 2) != (F.col("id_b") % 2)).select(
+        F.when(even_a, F.col("id_a")).otherwise(F.col("id_b")).alias("left_id"),
+        F.when(even_a, F.col("id_b")).otherwise(F.col("id_a")).alias("right_id"),
+        "jaccard",
+    )
+    links = reciprocal_best_links(cross, "left_id", "right_id", "jaccard")
+    return links.select(
+        "left_id", "right_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def q73_tf_adjusted_linkage(spark, sf_dir):
+    """Term-frequency-adjusted Fellegi-Sunter match weights
+    (operators/linkage.py:tf_adjusted_weights; Winkler 1989's
+    value-specific weights, Splink's tf_adjustments): agreement on a
+    RARE lang is stronger evidence than on a common one, so pairs
+    agreeing on value v trade the generic agree-level u for v's own
+    collision probability tf(v) — match_weight gains log2(u_agree /
+    tf_v). The tf side table is one broadcast row per distinct value,
+    so the adjustment adds ZERO shuffle to the pair table at any scale.
+    Scored under the fixed prior parameters (no EM) so both engines
+    evaluate the same literal arithmetic."""
+    from dedupe_spark.operators.linkage import (
+        DOCUMENT_COMPARISONS,
+        document_comparison_vectors,
+        score_with_params,
+        term_frequencies,
+        tf_adjusted_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gammas = document_comparison_vectors(
+        d, _fs_offset_pairs(d.select("doc_id")), keep=("lang",)
+    ).withColumnRenamed("lang_a", "lang")
+    params: dict = {"lambda": 0.5}
+    for c in DOCUMENT_COMPARISONS:
+        params[f"m_{c.name}"] = list(c.init_m)
+        params[f"u_{c.name}"] = list(c.init_u)
+    scored = score_with_params(gammas, DOCUMENT_COMPARISONS, params)
+    lang_comp = next(c for c in DOCUMENT_COMPARISONS if c.name == "gamma_lang")
+    adj = tf_adjusted_weights(
+        scored,
+        term_frequencies(d, "lang"),
+        "lang",
+        "gamma_lang",
+        u_agree=lang_comp.init_u[1],
+        agree_level=1,
+    )
+    return adj.select(
+        "id_a",
+        "id_b",
+        "lang",
+        "gamma_lang",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("tf_adj_weight", 6).alias("tf_adj_weight"),
     )
 
 
@@ -1622,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_monge_elkan_pairs": q69_monge_elkan_pairs,
         "q70_meta_blocking": q70_meta_blocking,
         "q71_phonetic_blocking": q71_phonetic_blocking,
+        "q72_one_to_one_linkage": q72_one_to_one_linkage,
+        "q73_tf_adjusted_linkage": q73_tf_adjusted_linkage,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2697,10 +2843,11 @@ WITH d AS (
 ),
 d2 AS (SELECT id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8),
 wins AS (SELECT id, unnest(generate_series(1, n - 7)) AS start, toks FROM d2),
-keys AS (
+allkeys AS (
   SELECT DISTINCT id, array_to_string(list_slice(toks, start, start + 7), ' ') AS key
   FROM wins
 ),
+keys AS (SELECT id, key FROM allkeys WHERE substr(md5(key), 1, 1) IN ('0', '1')),
 kept AS (
   SELECT key FROM keys GROUP BY key
   HAVING count(DISTINCT id) BETWEEN 2 AND 10
@@ -2728,6 +2875,37 @@ sx AS (SELECT w, {_soundex_sql("w")} AS code FROM wrds)
 SELECT a.code, a.w AS w_a, b.w AS w_b
 FROM sx a JOIN sx b ON a.code = b.code AND a.w < b.w
 """,
+        "q72_one_to_one_linkage": f"""
+WITH {_GRAMS3_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT id_a, id_b, n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.6
+),
+cross_side AS (
+    SELECT CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END AS left_id,
+           CASE WHEN id_a % 2 = 0 THEN id_b ELSE id_a END AS right_id,
+           jaccard
+    FROM pairs WHERE (id_a % 2) != (id_b % 2)
+),
+ranked AS (
+    SELECT *,
+        row_number() OVER (PARTITION BY left_id ORDER BY jaccard DESC, right_id ASC) AS ra,
+        row_number() OVER (PARTITION BY right_id ORDER BY jaccard DESC, left_id ASC) AS rb
+    FROM cross_side
+)
+SELECT left_id, right_id, round(jaccard, 4) AS jaccard
+FROM ranked WHERE ra = 1 AND rb = 1
+""",
+        "q73_tf_adjusted_linkage": _fs_tf_oracle(),
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,

@@ -37,7 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,7 +67,7 @@ DOCUMENT_COMPARISONS: tuple[Comparison, ...] = (
 
 
 def document_comparison_vectors(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", keep: Sequence[str] = ()
 ) -> DataFrame:
     """Attach the DOCUMENT_COMPARISONS gamma columns to a candidate-pair
     table (columns id_a, id_b referencing ``docs[id_col]``).
@@ -75,17 +75,21 @@ def document_comparison_vectors(
     Token Jaccard uses distinct whitespace tokens (array set ops, pure
     codegen); thresholds 0.8 / 0.3 split it into 3 levels. The join is
     pairs->docs per side keyed on the id — candidates-first, the
-    all-pairs space never materializes.
+    all-pairs space never materializes. ``keep`` passes side-a raw
+    columns through (as ``<name>_a``) for downstream value-specific
+    adjustments (:func:`tf_adjusted_weights`).
     """
     toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    extra = [c for c in keep if c not in ("lang", "n_chars")]
     d = docs.select(
-        F.col(id_col).alias("id"), toks.alias("toks"), "lang", "n_chars"
+        F.col(id_col).alias("id"), toks.alias("toks"), "lang", "n_chars", *extra
     )
     a = d.select(
         F.col("id").alias("id_a"),
         F.col("toks").alias("toks_a"),
         F.col("lang").alias("lang_a"),
         F.col("n_chars").alias("len_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
     )
     b = d.select(
         F.col("id").alias("id_b"),
@@ -107,6 +111,10 @@ def document_comparison_vectors(
             F.when(jac >= 0.8, F.lit(2)).when(jac >= 0.3, F.lit(1)).otherwise(F.lit(0)).alias("gamma_text"),
             (F.col("lang_a") == F.col("lang_b")).cast("int").alias("gamma_lang"),
             F.when(len_diff <= 8, F.lit(2)).when(len_diff <= 64, F.lit(1)).otherwise(F.lit(0)).alias("gamma_len"),
+            *[
+                F.col({"n_chars": "len_a"}.get(c, f"{c}_a")).alias(f"{c}_a")
+                for c in keep
+            ],
         )
     )
 
@@ -204,4 +212,87 @@ def score_with_params(
     return gammas.withColumn("match_prob", prob).withColumn(
         "match_weight",
         F.when((prod_u > 0) & (prod_m > 0), F.log2(prod_m / prod_u)),
+    )
+
+
+def reciprocal_best_links(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score: str = "score",
+) -> DataFrame:
+    """One-to-one bipartite assignment by reciprocal best match: keep
+    (a, b) iff b is a's highest-scoring candidate AND a is b's.
+
+    The linkage (A↔B) complement of the dedup-only reference: after
+    blocking + scoring, record linkage must enforce that each left
+    entity links to at most one right entity and vice versa (Fellegi &
+    Sunter's one-to-one assignment; Splink calls this "link_only" with
+    deterministic tie-breaking). A full max-weight bipartite matching is
+    inherently sequential; reciprocal-best is the standard distributed
+    relaxation — it returns a subset of any maximum matching, never a
+    conflicting link, and is embarrassingly parallel.
+
+    Shape at scale: two ``row_number`` windows, each ONE hash exchange
+    on its own key (left id, then right id) over the candidate-pair
+    table only — the entity tables never re-shuffle, and no iterative
+    auction rounds. Ties break on the smaller partner id so the result
+    is deterministic under duplicate scores.
+    """
+    w_a = Window.partitionBy(id_a).orderBy(F.col(score).desc(), F.col(id_b).asc())
+    w_b = Window.partitionBy(id_b).orderBy(F.col(score).desc(), F.col(id_a).asc())
+    return (
+        pairs.withColumn("_rank_a", F.row_number().over(w_a))
+        .withColumn("_rank_b", F.row_number().over(w_b))
+        .where((F.col("_rank_a") == 1) & (F.col("_rank_b") == 1))
+        .drop("_rank_a", "_rank_b")
+    )
+
+
+def term_frequencies(df: DataFrame, value_col: str) -> DataFrame:
+    """Relative frequency of each value of ``value_col`` — the side
+    table for term-frequency adjustment. One map-side-combinable agg;
+    the result has one row per distinct value (tiny → broadcast)."""
+    counts = df.groupBy(F.col(value_col).alias("value")).agg(
+        F.count("*").alias("n")
+    )
+    total = df.count()
+    return counts.select(
+        "value", (F.col("n") / F.lit(float(total))).alias("tf")
+    )
+
+
+def tf_adjusted_weights(
+    scored: DataFrame,
+    tf: DataFrame,
+    value_col: str,
+    gamma_col: str,
+    u_agree: float,
+    agree_level: int = 1,
+) -> DataFrame:
+    """Splink-style term-frequency adjustment of Fellegi-Sunter match
+    weights (Winkler 1989's value-specific weights): agreement on a
+    COMMON value ("en") is weaker evidence than agreement on a RARE one,
+    so for pairs agreeing on value v the generic u-probability of the
+    agree level is replaced by v's own collision probability tf(v) —
+    the Bayes factor gains a log2(u_agree / tf_v) term. Disagreeing
+    pairs (and values absent from the tf table) keep the base weight.
+
+    ``scored`` must carry ``value_col`` (the pair's agreed value) and a
+    ``match_weight`` from :func:`score_with_params`. The tf table is one
+    row per distinct field value — broadcast, so the adjustment adds NO
+    shuffle to the pair table at any scale.
+    """
+    adj = F.when(
+        (F.col(gamma_col) == agree_level) & F.col("tf").isNotNull() & (F.col("tf") > 0),
+        F.log2(F.lit(float(u_agree)) / F.col("tf")),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(
+            F.broadcast(tf.withColumnRenamed("value", value_col)),
+            value_col,
+            "left",
+        )
+        .withColumn("tf_adj_weight", F.col("match_weight") + adj)
+        .drop("tf")
     )

@@ -112,3 +112,86 @@ def test_score_with_params_matches_fit_scoring(spark, scored):
     (r,) = score_with_params(g, DOCUMENT_COMPARISONS, params).collect()
     # near-identical twin under the fitted model -> confident match
     assert r["match_prob"] > 0.9
+
+
+def test_reciprocal_best_links_one_to_one(spark):
+    """Every left/right id appears at most once, the kept links are
+    reciprocal bests, and ties break to the smaller partner id."""
+    from dedupe_spark.operators.linkage import reciprocal_best_links
+
+    pairs = spark.createDataFrame(
+        [
+            # a1's best is b1 (0.9) and vice versa -> kept
+            (1, 101, 0.9), (1, 102, 0.5),
+            (2, 101, 0.7),  # b101's best is a1, so a2-b101 dropped
+            # a3 ties between b103/b104 at 0.8 -> tie-break to b103;
+            # b103's best is a3 -> kept
+            (3, 103, 0.8), (3, 104, 0.8),
+            # b104's BEST is a3 (0.8 > 0.6), but a3 chose b103 — so
+            # (4, 104) is not reciprocal and b104 stays unmatched this
+            # round (reciprocal-best returns a conflict-free SUBSET)
+            (4, 104, 0.6),
+        ],
+        "id_a long, id_b long, score double",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in reciprocal_best_links(pairs, "id_a", "id_b", "score").collect()
+    }
+    assert got == {(1, 101), (3, 103)}
+    # one-to-one by construction
+    assert len({a for a, _ in got}) == len(got)
+    assert len({b for _, b in got}) == len(got)
+
+
+def test_tf_adjustment_rare_value_beats_common(spark):
+    """Two pairs agreeing on lang with identical gammas: the one agreeing
+    on the RARE lang ends up with the higher adjusted weight, the common
+    lang is penalized below the generic weight, and disagreeing pairs
+    keep the base weight."""
+    from dedupe_spark.operators.linkage import (
+        score_with_params,
+        term_frequencies,
+        tf_adjusted_weights,
+    )
+
+    # 9 common-lang docs, 1 rare-lang doc
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 9 else "xx") for i in range(10)], "doc_id long, lang string"
+    )
+    tf = term_frequencies(docs, "lang")
+    got = {r["value"]: r["tf"] for r in tf.collect()}
+    assert got == {"en": pytest.approx(0.9), "xx": pytest.approx(0.1)}
+
+    params = {"lambda": 0.5}
+    for c in DOCUMENT_COMPARISONS:
+        params[f"m_{c.name}"] = list(c.init_m)
+        params[f"u_{c.name}"] = list(c.init_u)
+    gammas = spark.createDataFrame(
+        [
+            (1, 2, 2, 1, 2, "en"),   # agree on common lang
+            (3, 4, 2, 1, 2, "xx"),   # agree on rare lang
+            (5, 6, 2, 0, 2, "en"),   # disagree on lang
+        ],
+        "id_a long, id_b long, gamma_text int, gamma_lang int, gamma_len int, lang string",
+    )
+    scored = score_with_params(gammas, DOCUMENT_COMPARISONS, params)
+    u_agree = next(c for c in DOCUMENT_COMPARISONS if c.name == "gamma_lang").init_u[1]
+    out = {
+        r["id_a"]: r
+        for r in tf_adjusted_weights(
+            scored, tf, "lang", "gamma_lang", u_agree=u_agree, agree_level=1
+        ).collect()
+    }
+    import math
+
+    # rare-lang agreement gains weight, common-lang agreement loses it
+    assert out[3]["tf_adj_weight"] > out[3]["match_weight"]
+    assert out[1]["tf_adj_weight"] < out[1]["match_weight"]
+    assert out[3]["tf_adj_weight"] > out[1]["tf_adj_weight"]
+    # the adjustment is exactly log2(u_agree / tf_v)
+    assert out[1]["tf_adj_weight"] - out[1]["match_weight"] == pytest.approx(
+        math.log2(u_agree / 0.9)
+    )
+    # disagreeing pair untouched
+    assert out[5]["tf_adj_weight"] == pytest.approx(out[5]["match_weight"])
