@@ -1685,6 +1685,27 @@ def q73_tf_adjusted_linkage(spark, sf_dir):
     )
 
 
+def q74_containment_pairs(spark, sf_dir):
+    """Asymmetric containment join (operators/dedup.py:
+    ngram_containment_pairs_prefix): docs whose 3-gram set is >=90%
+    inside another doc's — the partial-duplication shape (quotes,
+    truncations) that symmetric Jaccard scores near zero. Prefix filter
+    applies on the CONTAINED side only (no Jaccard lower bound exists:
+    the superset may be arbitrarily large), so candidates are A's
+    rarest |A|/10 grams joined against the full gram table; exact
+    verification counts intersections for candidates only."""
+    from dedupe_spark.operators.dedup import ngram_containment_pairs_prefix
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_containment_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.9, deps=_QUERY_DEPS
+    )
+    return pairs.select(
+        "id_sub", "id_super", F.round("containment", 4).alias("containment")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -1768,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_phonetic_blocking": q71_phonetic_blocking,
         "q72_one_to_one_linkage": q72_one_to_one_linkage,
         "q73_tf_adjusted_linkage": q73_tf_adjusted_linkage,
+        "q74_containment_pairs": q74_containment_pairs,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2906,6 +2928,19 @@ SELECT left_id, right_id, round(jaccard, 4) AS jaccard
 FROM ranked WHERE ra = 1 AND rb = 1
 """,
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
+        "q74_containment_pairs": f"""
+WITH {_GRAMS3_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id != b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_sub, id_super,
+       round(n_inter / s.sz, 4) AS containment
+FROM inter JOIN sizes s ON s.doc_id = id_sub
+WHERE n_inter / s.sz >= 0.9
+""",
         "q58_source_profile": """
 SELECT source, count(*) AS n_docs,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars,

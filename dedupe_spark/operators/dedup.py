@@ -654,6 +654,76 @@ def ngram_jaccard_pairs_prefix(
     return _jaccard_for_candidates(grams, sizes, cand, threshold)
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    deps: list | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: (id_sub, id_super) pairs where
+    |grams(sub) ∩ grams(super)| / |grams(sub)| >= threshold.
+
+    Jaccard misses partial duplication — a document quoted or truncated
+    inside a much larger one scores near zero symmetric similarity while
+    being 100% contained (the reference's within-file chunk dedup,
+    /root/reference/src/deduplication.cpp:985-1178, catches exactly this
+    shape at chunk granularity). Containment has NO useful Jaccard lower
+    bound (the superset may be arbitrarily large), so the PPJoin prefix
+    trick applies on the CONTAINED side only: a pair at containment >= t
+    needs |A∩B| >= ceil(t·|A|), hence must collide within A's first
+    |A| - ceil(t·|A|) + 1 rarest grams under any consistent global gram
+    order. Candidates = A-prefix grams ⋈ the FULL gram table — the
+    unpruned side contributes only rows whose gram appears in some
+    prefix, and rare-by-construction prefix grams keep that join sparse.
+    Verification is exact intersection counting on candidates only."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
+    ).persist()  # feeds rarity, prefix, and both verification sides
+    if deps is not None:
+        deps.append(grams)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    rarity = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("gdf", "g")
+    ranked = (
+        grams.join(rarity, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
+    prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
+
+    cand = (
+        prefixes.select(F.col("id").alias("id_sub"), "g")
+        .join(grams.select(F.col("id").alias("id_super"), "g"), "g")
+        .where(F.col("id_sub") != F.col("id_super"))
+        .select("id_sub", "id_super")
+        .distinct()
+    )
+    ga = grams.select(F.col("id").alias("id_sub"), "g")
+    gb = grams.select(F.col("id").alias("id_super"), "g")
+    inter = (
+        cand.join(ga, "id_sub")
+        .join(gb, ["id_super", "g"])
+        .groupBy("id_sub", "id_super")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_sub"), F.col("sz").alias("sz_sub")),
+            "id_sub",
+        )
+        .withColumn("containment", F.col("n_inter") / F.col("sz_sub"))
+        .where(F.col("containment") >= threshold)
+        .select("id_sub", "id_super", "containment")
+    )
+
+
 def simhash64(text: Column, nibbles: int = 15) -> Column:
     """60-bit SimHash from token md5s, as pure expressions.
 
