@@ -1363,6 +1363,30 @@ def _fs_tf_oracle() -> str:
     )
 
 
+def _fs_waterfall_oracle() -> str:
+    """q75 oracle: per-comparison log2 Bayes contributions under the
+    literal prior parameters — the same arithmetic as
+    linkage.match_weight_contributions."""
+    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
+
+    def case(c, probs):
+        branches = " ".join(
+            f"WHEN {lvl} THEN CAST({float(probs[lvl])} AS DOUBLE)"
+            for lvl in range(c.levels)
+        )
+        return f"(CASE {c.name} {branches} END)"
+
+    terms = {c.name: f"log2({case(c, c.init_m)} / {case(c, c.init_u)})" for c in COMPS}
+    cols = [f"  round({t}, 6) AS w_{name}" for name, t in terms.items()]
+    total = " + ".join(terms.values())
+    return (
+        "WITH " + ",\n".join(_fs_gamma_ctes()) + "\n"
+        "SELECT id_a, id_b,\n"
+        + ",\n".join(cols)
+        + f",\n  round({total}, 6) AS total_weight\nFROM g"
+    )
+
+
 def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
     """Unroll the fixed-iteration Fellegi-Sunter EM into DuckDB CTEs from
     the SAME Comparison specs the Spark operator uses — one params CTE per
@@ -1685,6 +1709,64 @@ def q73_tf_adjusted_linkage(spark, sf_dir):
     )
 
 
+def q75_match_waterfall(spark, sf_dir):
+    """Per-field match-weight waterfall (operators/linkage.py:
+    match_weight_contributions; Splink's comparison-level
+    explainability): each pair's log2 Bayes-factor contribution per
+    comparison plus the total, under the literal prior parameters — the
+    clerical-review view that says WHICH field drove a link decision.
+    Pure-codegen projection over the gamma table: no join, no UDF, no
+    extra shuffle at any corpus size."""
+    from dedupe_spark.operators.linkage import (
+        DOCUMENT_COMPARISONS,
+        document_comparison_vectors,
+        match_weight_contributions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gammas = document_comparison_vectors(d, _fs_offset_pairs(d.select("doc_id")))
+    params: dict = {"lambda": 0.5}
+    for c in DOCUMENT_COMPARISONS:
+        params[f"m_{c.name}"] = list(c.init_m)
+        params[f"u_{c.name}"] = list(c.init_u)
+    out = match_weight_contributions(gammas, DOCUMENT_COMPARISONS, params)
+    return out.select(
+        "id_a",
+        "id_b",
+        *[F.round(f"w_{c.name}", 6).alias(f"w_{c.name}") for c in DOCUMENT_COMPARISONS],
+        F.round("total_weight", 6).alias("total_weight"),
+    )
+
+
+def q76_cluster_repair_edges(spark, sf_dir):
+    """Cluster repair before CC (operators/clustering.py:
+    prune_weak_edges): transitive clustering over-merges through single
+    spurious edges, so drop candidate edges with zero common-neighbor
+    (triangle) support unless the score itself is high-confidence
+    (>= 0.9 — a pair of twins has no third witness). Support is one
+    adjacency self-join keyed on the shared neighbor over the CANDIDATE
+    graph only — O(sum deg^2) with degree bounded by blocking; the
+    k-truss(3) signal used for ER cluster splitting."""
+    from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from dedupe_spark.operators.clustering import prune_weak_edges
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs_prefix(
+        d, "doc_id", "text", n=3, threshold=0.6, deps=_QUERY_DEPS
+    ).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), F.col("jaccard")
+    )
+    edges = edges.persist()
+    _QUERY_DEPS.append(edges)
+    kept = prune_weak_edges(
+        edges, min_support=1, strong_score=0.9, score_col="jaccard"
+    )
+    return kept.select(
+        "src", "dst", F.round("jaccard", 4).alias("jaccard"), "support"
+    )
+
+
 def q74_containment_pairs(spark, sf_dir):
     """Asymmetric containment join (operators/dedup.py:
     ngram_containment_pairs_prefix): docs whose 3-gram set is >=90%
@@ -1790,6 +1872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_one_to_one_linkage": q72_one_to_one_linkage,
         "q73_tf_adjusted_linkage": q73_tf_adjusted_linkage,
         "q74_containment_pairs": q74_containment_pairs,
+        "q75_match_waterfall": q75_match_waterfall,
+        "q76_cluster_repair_edges": q76_cluster_repair_edges,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2928,6 +3012,36 @@ SELECT left_id, right_id, round(jaccard, 4) AS jaccard
 FROM ranked WHERE ra = 1 AND rb = 1
 """,
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
+        "q75_match_waterfall": _fs_waterfall_oracle(),
+        "q76_cluster_repair_edges": f"""
+WITH {_GRAMS3_SQL},
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+e AS (
+    SELECT id_a AS src, id_b AS dst,
+           n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.6
+),
+adj AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+tri AS (
+    SELECT e.src, e.dst, count(*) AS support
+    FROM e
+    JOIN adj l ON l.src = e.src
+    JOIN adj r ON r.src = e.dst AND r.dst = l.dst
+    WHERE l.dst != e.src AND l.dst != e.dst
+    GROUP BY e.src, e.dst
+)
+SELECT src, dst, round(jaccard, 4) AS jaccard, coalesce(support, 0) AS support
+FROM e LEFT JOIN tri USING (src, dst)
+WHERE coalesce(support, 0) >= 1 OR jaccard >= 0.9
+""",
         "q74_containment_pairs": f"""
 WITH {_GRAMS3_SQL},
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),

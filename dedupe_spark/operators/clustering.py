@@ -303,3 +303,55 @@ def incremental_components(
     )
     untouched = assignments.join(merged.select("node"), "node", "left_anti")
     return merged.unionByName(untouched.select("node", "cluster_id"))
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Common-neighbor support per edge: for each (src, dst), how many
+    nodes are adjacent to BOTH endpoints (triangle support).
+
+    Transitive clustering over-merges through single spurious edges — a
+    chain a~b~c bridges two real entities on one bad score. Edges inside
+    a genuine duplicate cluster sit in triangles (every member matched
+    every other); a bridge has support 0. This is the k-truss signal
+    (Cohen 2008) restricted to k=3, which is the standard ER
+    cluster-repair heuristic (drop weak unsupported edges BEFORE the CC
+    loop, cf. Splink/JedAI cluster splitting).
+
+    Shape at scale: adjacency = both edge orientations; support = one
+    self-join of adjacency keyed on the neighbor then a pair-keyed
+    count — cost O(sum deg^2) over the CANDIDATE graph, whose degree the
+    blocking stage already bounds (stop-band caps / meta-blocking); the
+    entity tables are never touched."""
+    e = edges.select("src", "dst")
+    adj = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # neighbor lists keyed by the shared neighbor w: (w, a) x (w, b)
+    left = adj.select(F.col("dst").alias("w"), F.col("src").alias("src"))
+    right = adj.select(F.col("dst").alias("w"), F.col("src").alias("dst"))
+    tri = (
+        e.join(left, "src")
+        .join(right, ["dst", "w"])
+        .where((F.col("w") != F.col("src")) & (F.col("w") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("support"))
+    )
+    return e.join(tri, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+    )
+
+
+def prune_weak_edges(
+    scored_edges: DataFrame,
+    min_support: int = 1,
+    strong_score: float | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Drop candidate edges with fewer than ``min_support`` common
+    neighbors, keeping edges at or above ``strong_score`` regardless —
+    high-confidence pairs must survive even as isolated 2-node clusters
+    (a pair of twins has no third witness)."""
+    sup = edge_support(scored_edges)
+    out = scored_edges.join(sup, ["src", "dst"])
+    keep = F.col("support") >= min_support
+    if strong_score is not None:
+        keep = keep | (F.col(score_col) >= strong_score)
+    return out.where(keep)

@@ -215,6 +215,33 @@ def score_with_params(
     )
 
 
+def match_weight_contributions(
+    gammas: DataFrame,
+    comparisons: Sequence[Comparison],
+    params: dict,
+) -> DataFrame:
+    """Per-field match-weight waterfall (Splink's comparison-level
+    explainability): for each pair, the log2 Bayes-factor contribution
+    of every comparison — w_c = log2(m_c[gamma] / u_c[gamma]) — plus
+    their sum. A clerical reviewer (or a threshold post-mortem) reads
+    WHICH field drove a decision, not just the total.
+
+    Pure-codegen projection with the parameters as literals — no join,
+    no UDF, no shuffle beyond whatever produced the gamma table; levels
+    where m or u is exactly 0 surface NULL (the Bayes factor is ±inf),
+    and the total inherits NULL through addition, matching
+    :func:`score_with_params`'s guard."""
+    out = gammas
+    total = None
+    for c in comparisons:
+        m = _level_expr(c, params[f"m_{c.name}"])
+        u = _level_expr(c, params[f"u_{c.name}"])
+        w = F.when((m > 0) & (u > 0), F.log2(m / u))
+        out = out.withColumn(f"w_{c.name}", w)
+        total = w if total is None else total + w
+    return out.withColumn("total_weight", total)
+
+
 def reciprocal_best_links(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -212,3 +212,48 @@ def test_incremental_empty_delta_is_identity(spark):
     base = {"b": "a", "a": "a", "z": "z"}
     got = _inc(spark, base, [])
     assert got == base
+
+
+def test_edge_support_bridge_between_triangles(spark):
+    """Two 3-cliques joined by one bridge: clique edges have support 1,
+    the bridge has 0 — pruning it splits the over-merged component."""
+    from dedupe_spark.operators.clustering import (
+        connected_components,
+        edge_support,
+        prune_weak_edges,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    bridge = [(3, 4)]
+    edges = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+
+    sup = {(r["src"], r["dst"]): r["support"] for r in edge_support(edges).collect()}
+    assert sup[(3, 4)] == 0
+    assert all(sup[e] == 1 for e in tri1 + tri2)
+
+    scored = edges.withColumn(
+        "score", F.when((F.col("src") == 3) & (F.col("dst") == 4), 0.65).otherwise(0.7)
+    )
+    kept = prune_weak_edges(scored, min_support=1, strong_score=0.9)
+    assert {(r["src"], r["dst"]) for r in kept.collect()} == set(tri1 + tri2)
+    # the repaired graph yields two clusters where the raw graph gave one
+    assert connected_components(edges).select("cluster_id").distinct().count() == 1
+    assert (
+        connected_components(kept.select("src", "dst"))
+        .select("cluster_id").distinct().count() == 2
+    )
+
+
+def test_prune_weak_edges_strong_score_exemption(spark):
+    """An isolated high-confidence pair (no third witness) survives the
+    support filter via the strong-score exemption."""
+    from dedupe_spark.operators.clustering import prune_weak_edges
+
+    edges = spark.createDataFrame(
+        [(10, 11, 0.95), (20, 21, 0.65)], "src long, dst long, score double"
+    )
+    kept = {(r["src"], r["dst"]) for r in prune_weak_edges(
+        edges, min_support=1, strong_score=0.9
+    ).collect()}
+    assert kept == {(10, 11)}
