@@ -1741,12 +1741,13 @@ def q75_match_waterfall(spark, sf_dir):
 def q76_cluster_repair_edges(spark, sf_dir):
     """Cluster repair before CC (operators/clustering.py:
     prune_weak_edges): transitive clustering over-merges through single
-    spurious edges, so drop candidate edges with zero common-neighbor
-    (triangle) support unless the score itself is high-confidence
-    (>= 0.9 — a pair of twins has no third witness). Support is one
-    adjacency self-join keyed on the shared neighbor over the CANDIDATE
-    graph only — O(sum deg^2) with degree bounded by blocking; the
-    k-truss(3) signal used for ER cluster splitting."""
+    spurious edges, so drop BRIDGE edges (both endpoints have other
+    neighbors) that lack common-neighbor (triangle) support, unless the
+    score itself is high-confidence (>= 0.9). Isolated pairs and leaf
+    attachments can't merge two multi-node clusters and always survive.
+    Support is one adjacency self-join keyed on the shared neighbor over
+    the CANDIDATE graph only — O(sum deg^2) with degree bounded by
+    blocking; the k-truss(3) signal used for ER cluster splitting."""
     from dedupe_spark.operators.dedup import ngram_jaccard_pairs_prefix
     from dedupe_spark.operators.clustering import prune_weak_edges
 
@@ -3030,6 +3031,7 @@ e AS (
     WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.6
 ),
 adj AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+deg AS (SELECT src AS node, count(*) AS deg FROM adj GROUP BY src),
 tri AS (
     SELECT e.src, e.dst, count(*) AS support
     FROM e
@@ -3039,8 +3041,12 @@ tri AS (
     GROUP BY e.src, e.dst
 )
 SELECT src, dst, round(jaccard, 4) AS jaccard, coalesce(support, 0) AS support
-FROM e LEFT JOIN tri USING (src, dst)
-WHERE coalesce(support, 0) >= 1 OR jaccard >= 0.9
+FROM e
+LEFT JOIN tri USING (src, dst)
+JOIN deg ds ON ds.node = src
+JOIN deg dd ON dd.node = dst
+WHERE NOT (ds.deg > 1 AND dd.deg > 1)
+   OR coalesce(support, 0) >= 1 OR jaccard >= 0.9
 """,
         "q74_containment_pairs": f"""
 WITH {_GRAMS3_SQL},

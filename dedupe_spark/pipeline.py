@@ -65,6 +65,15 @@ class PipelineConfig:
     # committed next to clusters so a broken conversation is visible
     # before it becomes its cluster's canonical copy
     lint: bool = False
+    # triangle-support cluster repair (operators/clustering.py:
+    # prune_weak_edges): accepted near-dup edges with no common neighbor
+    # in the full duplicate graph are dropped unless their jaccard is
+    # high-confidence — transitive clustering otherwise merges two real
+    # entities through one spurious score. Exact-fp edges are certain:
+    # they count as witnesses and are never pruned
+    cluster_repair: bool = False
+    cluster_repair_min_support: int = 1
+    cluster_repair_strong: float = 0.9
     checkpoint_dir: str | None = None
     resume: bool = False
     # metrics cost ~6 extra jobs (counts); opt in when publishing a run
@@ -196,8 +205,19 @@ def run(
         deps=persisted,
     )
     sim_edges = scored.where("is_dup").select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     )
+    if cfg.cluster_repair:
+        sim_edges = clustering.prune_weak_edges(
+            sim_edges,
+            min_support=cfg.cluster_repair_min_support,
+            strong_score=cfg.cluster_repair_strong,
+            score_col="jaccard",
+            witness_edges=exact_edges.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ),
+        )
+    sim_edges = sim_edges.select("src", "dst")
 
     # 6. transitive clustering
     edges = exact_edges.select(

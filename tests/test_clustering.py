@@ -245,15 +245,43 @@ def test_edge_support_bridge_between_triangles(spark):
     )
 
 
-def test_prune_weak_edges_strong_score_exemption(spark):
-    """An isolated high-confidence pair (no third witness) survives the
-    support filter via the strong-score exemption."""
+def test_prune_weak_edges_only_bridges_prunable(spark):
+    """Isolated pairs and leaf attachments cannot merge two multi-node
+    clusters — they survive regardless of score. Of two unsupported
+    BRIDGES between cliques, the strong-scored one survives via the
+    exemption and the weak one is pruned."""
     from dedupe_spark.operators.clustering import prune_weak_edges
 
+    tri1 = [(1, 2, 0.7), (2, 3, 0.7), (1, 3, 0.7)]
+    tri2 = [(4, 5, 0.7), (5, 6, 0.7), (4, 6, 0.7)]
+    tri3 = [(7, 8, 0.7), (8, 9, 0.7), (7, 9, 0.7)]
+    weak_bridge = [(3, 4, 0.65)]
+    strong_bridge = [(6, 7, 0.95)]
+    isolated = [(20, 21, 0.61)]
+    leaf = [(1, 30, 0.62)]  # 30 hangs off clique 1 by one edge
     edges = spark.createDataFrame(
-        [(10, 11, 0.95), (20, 21, 0.65)], "src long, dst long, score double"
+        tri1 + tri2 + tri3 + weak_bridge + strong_bridge + isolated + leaf,
+        "src long, dst long, score double",
     )
     kept = {(r["src"], r["dst"]) for r in prune_weak_edges(
         edges, min_support=1, strong_score=0.9
     ).collect()}
-    assert kept == {(10, 11)}
+    expect = {(s, d) for s, d, _ in tri1 + tri2 + tri3 + strong_bridge + isolated + leaf}
+    assert kept == expect
+
+
+def test_prune_weak_edges_exact_witnesses_corroborate(spark):
+    """A near-dup bridge whose support comes only from exact-fp witness
+    edges survives — witnesses count as neighbors without being scored."""
+    from dedupe_spark.operators.clustering import prune_weak_edges
+
+    # near-dup edges: 1-2, 2-3 (chain; both endpoints of 2-3 have deg>1
+    # once witnesses are in). witness 1-3 closes the triangle.
+    scored = spark.createDataFrame(
+        [(1, 2, 0.7), (2, 3, 0.7)], "src long, dst long, score double"
+    )
+    witness = spark.createDataFrame([(1, 3)], "src long, dst long")
+    kept = {(r["src"], r["dst"]) for r in prune_weak_edges(
+        scored, min_support=1, strong_score=0.9, witness_edges=witness
+    ).collect()}
+    assert kept == {(1, 2), (2, 3)}

@@ -107,3 +107,18 @@ def test_pipeline_deterministic_across_runs(spark, result):
     a = sorted(tuple(r) for r in res.clusters.collect())
     b = sorted(tuple(r) for r in res2.clusters.collect())
     assert a == b
+
+
+def test_pairwise_f1_with_cluster_repair(spark, result):
+    """Triangle-support cluster repair on: F1 stays at target (repair
+    must not shred legitimate 2-doc clusters — the strong-jaccard
+    exemption and exact-edge witnesses protect them) and never ADDS
+    links (repaired clusters refine the default partition)."""
+    tr, base = result
+    res = pipeline.run(tr, pipeline.PipelineConfig(cluster_repair=True))
+    f1, prec, rec = _f1(spark, res.clusters, N)
+    n_edges = res.edges.count()
+    n_edges_base = base.edges.count()
+    res.release()
+    assert f1 >= 0.99, f"F1={f1:.4f} precision={prec:.4f} recall={rec:.4f}"
+    assert n_edges <= n_edges_base
