@@ -1768,6 +1768,61 @@ def q76_cluster_repair_edges(spark, sf_dir):
     )
 
 
+_AUC_PAIR_OFFSETS = (1, 3, 7)
+
+
+def q77_scorer_auc(spark, sf_dir):
+    """ROC-AUC of a pair scorer against gold labels (operators/
+    evaluation.py:scorer_auc) — the calibration number you read before
+    picking an accept threshold. Scorer: 64-dim sign-agreement count
+    between embeddings (the hyperplane-LSH similarity, integer-exact in
+    both engines); truth: gold label equality on a deterministic offset
+    pair set. The Mann-Whitney rank statistic is computed from SCORE
+    MARGINALS — one hash agg over pairs, then a cumulative pass over
+    the <=65 distinct scores — so no global rank over the pair table
+    ever runs at any corpus size."""
+    from dedupe_spark.operators.dedup import EMBEDDING_DIM
+    from dedupe_spark.operators.evaluation import scorer_auc
+
+    e = _t(spark, sf_dir, "embeddings")
+    ids = e.select("vec_id")
+    pairs = None
+    for off in _AUC_PAIR_OFFSETS:
+        p = ids.select(F.col("vec_id").alias("id_a")).join(
+            ids.select(
+                (F.col("vec_id") - off).alias("id_a"), F.col("vec_id").alias("id_b")
+            ),
+            "id_a",
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("label").alias("label_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("label").alias("label_b"),
+    )
+    sign_agree = F.aggregate(
+        F.zip_with(
+            "va", "vb", lambda x, y: ((x >= 0) == (y >= 0)).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            sign_agree.alias("score"),
+            (F.col("label_a") == F.col("label_b")).alias("is_match"),
+        )
+    )
+    return scorer_auc(scored, "score", "is_match")
+
+
 def q74_containment_pairs(spark, sf_dir):
     """Asymmetric containment join (operators/dedup.py:
     ngram_containment_pairs_prefix): docs whose 3-gram set is >=90%
@@ -1875,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_containment_pairs": q74_containment_pairs,
         "q75_match_waterfall": q75_match_waterfall,
         "q76_cluster_repair_edges": q76_cluster_repair_edges,
+        "q77_scorer_auc": q77_scorer_auc,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -3014,6 +3070,39 @@ FROM ranked WHERE ra = 1 AND rb = 1
 """,
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
         "q75_match_waterfall": _fs_waterfall_oracle(),
+        "q77_scorer_auc": f"""
+WITH p0 AS (
+{" UNION ALL ".join(f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {off}" for off in _AUC_PAIR_OFFSETS)}
+),
+sc AS (
+    SELECT list_sum(list_transform(generate_series(1, 64), i ->
+               CASE WHEN (ea.embedding[i] >= 0) = (eb.embedding[i] >= 0)
+                    THEN 1 ELSE 0 END))::BIGINT AS s,
+           ea.label = eb.label AS is_match
+    FROM p0
+    JOIN embeddings ea ON ea.vec_id = p0.id_a
+    JOIN embeddings eb ON eb.vec_id = p0.id_b
+),
+g AS (
+    SELECT s,
+           sum(CASE WHEN is_match THEN 1 ELSE 0 END)::BIGINT AS pos,
+           sum(CASE WHEN is_match THEN 0 ELSE 1 END)::BIGINT AS neg
+    FROM sc GROUP BY s
+),
+g2 AS (
+    SELECT *,
+           coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+               AS cum_neg_below
+    FROM g
+)
+SELECT CASE WHEN sum(pos) > 0 AND sum(neg) > 0
+            THEN round(sum(pos * (cum_neg_below + 0.5 * neg))
+                       / (sum(pos) * sum(neg)), 6) END AS auc,
+       sum(pos)::BIGINT AS n_pos,
+       sum(neg)::BIGINT AS n_neg
+FROM g2
+""",
         "q76_cluster_repair_edges": f"""
 WITH {_GRAMS3_SQL},
 sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),

@@ -85,3 +85,53 @@ def cluster_eval(assign: DataFrame, pred_col: str, gold_col: str) -> DataFrame:
         pair_r.alias("pair_recall"),
         f1(pair_p, pair_r).alias("pair_f1"),
     )
+
+
+def scorer_auc(
+    scored_pairs: DataFrame,
+    score_col: str = "score",
+    label_col: str = "is_match",
+) -> DataFrame:
+    """ROC-AUC of a pair scorer against gold labels, without ranking
+    the pair table.
+
+    The textbook Mann-Whitney AUC needs a global rank over all pairs —
+    a single-reducer sort at 10^12 pairs. Instead reduce to *score
+    marginals*: one map-side-combinable hash agg builds (score ->
+    n_pos, n_neg), then the cumulative pass runs over DISTINCT scores
+    only, whose cardinality is bounded by the scorer's granularity
+    (65 for a 64-dim sign-agreement count, <= 10^4 for a 4-decimal
+    rounded similarity) — never by the corpus. The unpartitioned window
+    below is over THAT tiny table, which is the entire point.
+
+        AUC = sum_s n_pos(s) * (cum_neg(<s) + 0.5 * n_neg(s)) / (P*N)
+
+    — ties counted half, exactly the Mann-Whitney statistic. Returns a
+    single row (auc, n_pos, n_neg); auc is NULL when either class is
+    empty (undefined, not 0)."""
+    from pyspark.sql import Window
+
+    is_pos = F.col(label_col)
+    g = scored_pairs.groupBy(F.col(score_col).alias("s")).agg(
+        F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("double")
+    )
+    agg = g.agg(
+        F.sum(
+            F.col("pos") * (F.col("cum_neg_below") + 0.5 * F.col("neg"))
+        ).alias("num"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+    )
+    return agg.select(
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(F.col("num") / (F.col("n_pos") * F.col("n_neg")), 6),
+        ).alias("auc"),
+        "n_pos",
+        "n_neg",
+    )

@@ -201,3 +201,46 @@ def test_remove_spans_keep_one_copy_policy(spark):
     got = {r["id"]: r for r in remove_spans(docs, cut).collect()}
     assert got[1]["n_removed"] == 0  # owner keeps the span
     assert got[2]["clean_text"] == "other3 other4"  # copy trimmed
+
+
+# ---------------------------------------------------------------- scorer_auc
+
+
+def test_scorer_auc_perfect_and_inverted(spark):
+    """A scorer that ranks every positive above every negative has
+    AUC 1; the inverted scorer has AUC 0; hand-checked ties count
+    half (Mann-Whitney)."""
+    from dedupe_spark.operators.evaluation import scorer_auc
+
+    perfect = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)],
+        "score long, is_match boolean",
+    )
+    (r,) = scorer_auc(perfect, "score", "is_match").collect()
+    assert (r["auc"], r["n_pos"], r["n_neg"]) == (1.0, 2, 2)
+
+    inverted = spark.createDataFrame(
+        [(1, True), (2, True), (9, False), (10, False)],
+        "score long, is_match boolean",
+    )
+    (r,) = scorer_auc(inverted, "score", "is_match").collect()
+    assert r["auc"] == 0.0
+
+    # one positive at 5, one negative tied at 5, one negative at 3:
+    # AUC = (1*(1 + 0.5*1)) / (1*2) = 0.75
+    ties = spark.createDataFrame(
+        [(5, True), (5, False), (3, False)], "score long, is_match boolean"
+    )
+    (r,) = scorer_auc(ties, "score", "is_match").collect()
+    assert r["auc"] == 0.75
+
+
+def test_scorer_auc_single_class_is_null(spark):
+    """AUC is undefined with one class — NULL, not a misleading 0/1."""
+    from dedupe_spark.operators.evaluation import scorer_auc
+
+    one_class = spark.createDataFrame(
+        [(5, True), (7, True)], "score long, is_match boolean"
+    )
+    (r,) = scorer_auc(one_class, "score", "is_match").collect()
+    assert r["auc"] is None and r["n_pos"] == 2 and r["n_neg"] == 0
