@@ -661,6 +661,7 @@ def ngram_containment_pairs_prefix(
     n: int = 3,
     threshold: float = 0.9,
     deps: list | None = None,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment join: (id_sub, id_super) pairs where
     |grams(sub) ∩ grams(super)| / |grams(sub)| >= threshold.
@@ -677,7 +678,16 @@ def ngram_containment_pairs_prefix(
     order. Candidates = A-prefix grams ⋈ the FULL gram table — the
     unpruned side contributes only rows whose gram appears in some
     prefix, and rare-by-construction prefix grams keep that join sparse.
-    Verification is exact intersection counting on candidates only."""
+    Verification is exact intersection counting on candidates only.
+
+    ``max_gram_df``: adversarial-skew guard for the candidate join. A
+    doc whose RAREST grams are still corpus-hot (boilerplate-only text)
+    would fan out against every doc sharing them; with a cap, candidate
+    generation skips grams with document frequency above it — the same
+    surfaced trade the blocking stop-band makes. Opt-in because it
+    sacrifices exactness: a contained doc is missed iff ALL its prefix
+    grams are hotter than the cap (verification itself stays exact).
+    Default None = exact."""
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
@@ -698,8 +708,13 @@ def ngram_containment_pairs_prefix(
     prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
     prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
 
+    probe = prefixes
+    if max_gram_df is not None:
+        probe = probe.join(
+            rarity.where(F.col("gdf") <= max_gram_df).select("g"), "g", "left_semi"
+        )
     cand = (
-        prefixes.select(F.col("id").alias("id_sub"), "g")
+        probe.select(F.col("id").alias("id_sub"), "g")
         .join(grams.select(F.col("id").alias("id_super"), "g"), "g")
         .where(F.col("id_sub") != F.col("id_super"))
         .select("id_sub", "id_super")

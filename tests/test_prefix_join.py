@@ -95,3 +95,33 @@ def test_containment_catches_what_jaccard_misses(spark):
         for r in naive.collect()
     }
     assert {k: round(v, 6) for k, v in got.items()} == naive_pairs
+
+
+def test_containment_max_gram_df_cap(spark):
+    """The skew cap skips hot prefix grams: a doc made entirely of
+    corpus-hot boilerplate loses its candidates (surfaced trade), while
+    pairs found via rare grams are untouched; cap=None stays exact."""
+    from dedupe_spark.operators.dedup import ngram_containment_pairs_prefix
+
+    hot = "common boiler plate text here"          # appears in many docs
+    rows = [(i, f"{hot} filler{i} pad{i} end{i}") for i in range(10)]
+    rows.append((100, hot))                        # hot-only doc, contained in all
+    rows.append((101, "rare alpha beta gamma delta unique"))
+    rows.append((102, "rare alpha beta gamma delta unique plus extra tail tokens"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r["id_sub"], r["id_super"])
+        for r in ngram_containment_pairs_prefix(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert (100, 0) in exact and (101, 102) in exact
+
+    capped = {
+        (r["id_sub"], r["id_super"])
+        for r in ngram_containment_pairs_prefix(
+            df, "doc_id", "text", threshold=0.9, max_gram_df=3
+        ).collect()
+    }
+    assert (101, 102) in capped          # rare-gram pair survives
+    assert all(s != 100 for s, _ in capped)  # hot-only doc's pairs traded away
+    assert capped <= exact
