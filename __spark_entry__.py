@@ -1387,6 +1387,34 @@ def _fs_waterfall_oracle() -> str:
     )
 
 
+def _fs_unlinkables_oracle() -> str:
+    """q78 oracle: per-record best 6-dp-rounded match weight under the
+    literal prior parameters, floor-binned with a cumulative count."""
+    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
+
+    def case(c, probs):
+        branches = " ".join(
+            f"WHEN {lvl} THEN CAST({float(probs[lvl])} AS DOUBLE)"
+            for lvl in range(c.levels)
+        )
+        return f"(CASE {c.name} {branches} END)"
+
+    mprod = " * ".join(case(c, c.init_m) for c in COMPS)
+    uprod = " * ".join(case(c, c.init_u) for c in COMPS)
+    return (
+        "WITH " + ",\n".join(_fs_gamma_ctes()) + ",\n"
+        f"sc AS (SELECT id_a, id_b, round(log2(({mprod}) / ({uprod})), 6) AS w FROM g),\n"
+        "per_side AS (SELECT id_a AS rid, w FROM sc UNION ALL SELECT id_b AS rid, w FROM sc),\n"
+        "best AS (SELECT rid, max(w) AS best_w FROM per_side WHERE w IS NOT NULL GROUP BY rid),\n"
+        "binned AS (SELECT floor(best_w / 1.0) * 1.0 AS weight_bin,"
+        " count(*)::BIGINT AS n_records FROM best GROUP BY 1)\n"
+        "SELECT round(weight_bin, 6) AS weight_bin, n_records,\n"
+        "       sum(n_records) OVER (ORDER BY weight_bin\n"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_records\n"
+        "FROM binned"
+    )
+
+
 def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
     """Unroll the fixed-iteration Fellegi-Sunter EM into DuckDB CTEs from
     the SAME Comparison specs the Spark operator uses — one params CTE per
@@ -1768,6 +1796,39 @@ def q76_cluster_repair_edges(spark, sf_dir):
     )
 
 
+def q78_unlinkables(spark, sf_dir):
+    """Unlinkables histogram (operators/linkage.py:
+    unlinkables_histogram; Splink's unlinkables chart): per-record BEST
+    match weight under the literal prior parameters, floor-binned with
+    a cumulative count — how much of the corpus a given accept
+    threshold would leave as singletons. One symmetric explode + max
+    agg keyed by record id, then a cumulative window over the DISTINCT
+    bins only; the pair table is never ranked."""
+    from dedupe_spark.operators.linkage import (
+        DOCUMENT_COMPARISONS,
+        document_comparison_vectors,
+        score_with_params,
+        unlinkables_histogram,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gammas = document_comparison_vectors(d, _fs_offset_pairs(d.select("doc_id")))
+    params: dict = {"lambda": 0.5}
+    for c in DOCUMENT_COMPARISONS:
+        params[f"m_{c.name}"] = list(c.init_m)
+        params[f"u_{c.name}"] = list(c.init_u)
+    scored = score_with_params(gammas, DOCUMENT_COMPARISONS, params)
+    # bin on the 6-dp-rounded weight: one prior-params combo lands
+    # EXACTLY on a bin boundary (-4.0), and Spark's log2 (log x / log 2)
+    # vs DuckDB's libm log2 may straddle it by an ulp — rounding first
+    # makes floor() agree across engines
+    scored = scored.withColumn("match_weight", F.round("match_weight", 6))
+    hist = unlinkables_histogram(scored, "id_a", "id_b", "match_weight", bin_width=1.0)
+    return hist.select(
+        F.round("weight_bin", 6).alias("weight_bin"), "n_records", "cum_records"
+    )
+
+
 _AUC_PAIR_OFFSETS = (1, 3, 7)
 
 
@@ -1931,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_match_waterfall": q75_match_waterfall,
         "q76_cluster_repair_edges": q76_cluster_repair_edges,
         "q77_scorer_auc": q77_scorer_auc,
+        "q78_unlinkables": q78_unlinkables,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -3070,6 +3132,7 @@ FROM ranked WHERE ra = 1 AND rb = 1
 """,
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
         "q75_match_waterfall": _fs_waterfall_oracle(),
+        "q78_unlinkables": _fs_unlinkables_oracle(),
         "q77_scorer_auc": f"""
 WITH p0 AS (
 {" UNION ALL ".join(f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {off}" for off in _AUC_PAIR_OFFSETS)}

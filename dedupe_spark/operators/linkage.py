@@ -242,6 +242,46 @@ def match_weight_contributions(
     return out.withColumn("total_weight", total)
 
 
+def unlinkables_histogram(
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str = "match_weight",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Distribution of each record's BEST match weight (Splink's
+    unlinkables chart): how many records have no candidate above any
+    given weight — the number that says what fraction of the corpus a
+    threshold will leave as singletons, read BEFORE picking one.
+
+    Per-record best = one symmetric explode of the pair table + a
+    max-agg keyed by record id; histogram = floor-binning that (tiny)
+    per-record table and a cumulative window over the DISTINCT bins
+    only. Both aggs are map-side combinable; nothing is ranked over the
+    pair table. Records whose weights are all NULL (±inf Bayes factors)
+    fall out of the max and are excluded — surfacing them is the
+    caller's NULL-handling decision, not a silent zero bin."""
+    per_side = scored.select(
+        F.col(id_a).alias("rid"), F.col(weight_col).alias("w")
+    ).unionByName(
+        scored.select(F.col(id_b).alias("rid"), F.col(weight_col).alias("w"))
+    )
+    best = per_side.where(F.col("w").isNotNull()).groupBy("rid").agg(
+        F.max("w").alias("best_w")
+    )
+    binned = best.groupBy(
+        (F.floor(F.col("best_w") / F.lit(float(bin_width))) * F.lit(float(bin_width)))
+        .alias("weight_bin")
+    ).agg(F.count("*").alias("n_records"))
+    from pyspark.sql import Window
+
+    # cumulative over the DISTINCT bins (bounded by the weight range /
+    # bin width, not the corpus) — records at or below each bin = the
+    # unlinkable count if the accept threshold were set just above it
+    w = Window.orderBy("weight_bin").rowsBetween(Window.unboundedPreceding, 0)
+    return binned.withColumn("cum_records", F.sum("n_records").over(w))
+
+
 def reciprocal_best_links(
     pairs: DataFrame,
     id_a: str = "id_a",

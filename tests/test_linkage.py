@@ -195,3 +195,26 @@ def test_tf_adjustment_rare_value_beats_common(spark):
     )
     # disagreeing pair untouched
     assert out[5]["tf_adj_weight"] == pytest.approx(out[5]["match_weight"])
+
+
+def test_unlinkables_histogram_hand_computed(spark):
+    """Hand-built scored pairs: per-record best weight, bins, and the
+    cumulative count; NULL weights drop out of the max."""
+    from dedupe_spark.operators.linkage import unlinkables_histogram
+
+    scored = spark.createDataFrame(
+        [
+            (1, 2, 5.3),    # best for 1 and 2
+            (1, 3, -2.1),   # 3's only (and best) weight
+            (4, 5, None),   # both all-NULL -> excluded
+            (3, 4, -2.9),   # lifts 4 out of the NULL bucket
+        ],
+        "id_a long, id_b long, match_weight double",
+    )
+    rows = {
+        r["weight_bin"]: (r["n_records"], r["cum_records"])
+        for r in unlinkables_histogram(scored).collect()
+    }
+    # best: 1 -> 5.3 (bin 5), 2 -> 5.3 (bin 5), 3 -> -2.1 (bin -3),
+    # 4 -> -2.9 (bin -3); 5 excluded (all NULL)
+    assert rows == {-3.0: (2, 2), 5.0: (2, 4)}
