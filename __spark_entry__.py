@@ -1240,15 +1240,18 @@ def q63_tfidf_cosine_pairs(spark, sf_dir):
 _FS_PAIR_OFFSETS = (1, 13)  # +1 is near-dup-rich in the fixture, +13 mostly non-match
 
 
-def _fs_offset_pairs(ids: DataFrame) -> DataFrame:
-    """Deterministic candidate pairs for the linkage queries: (id, id +
-    off) for each _FS_PAIR_OFFSETS — a near-dup-rich branch and a
-    mostly-non-match branch so EM sees both classes."""
+def _fs_offset_pairs(
+    ids: DataFrame, id_col: str = "doc_id", offsets: tuple = _FS_PAIR_OFFSETS
+) -> DataFrame:
+    """Deterministic candidate pairs for the linkage/eval queries:
+    (id, id + off) per offset — near-dup-rich small offsets plus
+    mostly-non-match large ones, so fitters/evaluators see both
+    classes."""
     pairs = None
-    for off in _FS_PAIR_OFFSETS:
-        p = ids.select(F.col("doc_id").alias("id_a")).join(
+    for off in offsets:
+        p = ids.select(F.col(id_col).alias("id_a")).join(
             ids.select(
-                (F.col("doc_id") - off).alias("id_a"), F.col("doc_id").alias("id_b")
+                (F.col(id_col) - off).alias("id_a"), F.col(id_col).alias("id_b")
             ),
             "id_a",
         )
@@ -1326,11 +1329,10 @@ def _fs_gamma_ctes(keep_lang: bool = False) -> list[str]:
     ]
 
 
-def _fs_tf_oracle() -> str:
-    """q73 oracle: score the gamma table under the literal prior
-    parameters (no EM) and add the value-specific term-frequency
-    adjustment on lang — the same closed-form arithmetic
-    linkage.score_with_params + tf_adjusted_weights evaluate."""
+def _fs_prior_cases() -> list[tuple[str, str, str]]:
+    """(name, m_case_sql, u_case_sql) per comparison under the LITERAL
+    prior parameters — the single source for the q73/q75/q78 oracles so
+    the literal-casting scheme can never diverge between them."""
     from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
 
     def case(c, probs):
@@ -1340,8 +1342,23 @@ def _fs_tf_oracle() -> str:
         )
         return f"(CASE {c.name} {branches} END)"
 
-    mprod = " * ".join(case(c, c.init_m) for c in COMPS)
-    uprod = " * ".join(case(c, c.init_u) for c in COMPS)
+    return [(c.name, case(c, c.init_m), case(c, c.init_u)) for c in COMPS]
+
+
+def _fs_prior_prods() -> tuple[str, str]:
+    """(prod_m, prod_u) SQL under the literal prior parameters."""
+    cases = _fs_prior_cases()
+    return " * ".join(m for _, m, _ in cases), " * ".join(u for _, _, u in cases)
+
+
+def _fs_tf_oracle() -> str:
+    """q73 oracle: score the gamma table under the literal prior
+    parameters (no EM) and add the value-specific term-frequency
+    adjustment on lang — the same closed-form arithmetic
+    linkage.score_with_params + tf_adjusted_weights evaluate."""
+    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
+
+    mprod, uprod = _fs_prior_prods()
     u_agree = float(next(c for c in COMPS if c.name == "gamma_lang").init_u[1])
     ctes = _fs_gamma_ctes(keep_lang=True) + [
         (
@@ -1367,16 +1384,7 @@ def _fs_waterfall_oracle() -> str:
     """q75 oracle: per-comparison log2 Bayes contributions under the
     literal prior parameters — the same arithmetic as
     linkage.match_weight_contributions."""
-    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
-
-    def case(c, probs):
-        branches = " ".join(
-            f"WHEN {lvl} THEN CAST({float(probs[lvl])} AS DOUBLE)"
-            for lvl in range(c.levels)
-        )
-        return f"(CASE {c.name} {branches} END)"
-
-    terms = {c.name: f"log2({case(c, c.init_m)} / {case(c, c.init_u)})" for c in COMPS}
+    terms = {name: f"log2({m} / {u})" for name, m, u in _fs_prior_cases()}
     cols = [f"  round({t}, 6) AS w_{name}" for name, t in terms.items()]
     total = " + ".join(terms.values())
     return (
@@ -1390,17 +1398,7 @@ def _fs_waterfall_oracle() -> str:
 def _fs_unlinkables_oracle() -> str:
     """q78 oracle: per-record best 6-dp-rounded match weight under the
     literal prior parameters, floor-binned with a cumulative count."""
-    from dedupe_spark.operators.linkage import DOCUMENT_COMPARISONS as COMPS
-
-    def case(c, probs):
-        branches = " ".join(
-            f"WHEN {lvl} THEN CAST({float(probs[lvl])} AS DOUBLE)"
-            for lvl in range(c.levels)
-        )
-        return f"(CASE {c.name} {branches} END)"
-
-    mprod = " * ".join(case(c, c.init_m) for c in COMPS)
-    uprod = " * ".join(case(c, c.init_u) for c in COMPS)
+    mprod, uprod = _fs_prior_prods()
     return (
         "WITH " + ",\n".join(_fs_gamma_ctes()) + ",\n"
         f"sc AS (SELECT id_a, id_b, round(log2(({mprod}) / ({uprod})), 6) AS w FROM g),\n"
@@ -1786,7 +1784,12 @@ def q76_cluster_repair_edges(spark, sf_dir):
     ).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), F.col("jaccard")
     )
+    # persisted EAGERLY: prune_weak_edges reads the edge table from four
+    # branches AQE materializes concurrently (degree agg, both adjacency
+    # sides, output join) — a lazy persist would race its own fill and
+    # every branch would re-run the prefix-filtered similarity join
     edges = edges.persist()
+    edges.count()
     _QUERY_DEPS.append(edges)
     kept = prune_weak_edges(
         edges, min_support=1, strong_score=0.9, score_col="jaccard"
@@ -1842,20 +1845,12 @@ def q77_scorer_auc(spark, sf_dir):
     MARGINALS — one hash agg over pairs, then a cumulative pass over
     the <=65 distinct scores — so no global rank over the pair table
     ever runs at any corpus size."""
-    from dedupe_spark.operators.dedup import EMBEDDING_DIM
     from dedupe_spark.operators.evaluation import scorer_auc
 
     e = _t(spark, sf_dir, "embeddings")
-    ids = e.select("vec_id")
-    pairs = None
-    for off in _AUC_PAIR_OFFSETS:
-        p = ids.select(F.col("vec_id").alias("id_a")).join(
-            ids.select(
-                (F.col("vec_id") - off).alias("id_a"), F.col("vec_id").alias("id_b")
-            ),
-            "id_a",
-        )
-        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = _fs_offset_pairs(
+        e.select("vec_id"), id_col="vec_id", offsets=_AUC_PAIR_OFFSETS
+    )
     a = e.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -2267,6 +2262,7 @@ WHERE d.doc_id % 2 != 0
 
 def oracle_sql() -> dict[str, str]:
     from dedupe_spark.functions.phonetic import soundex_sql as _soundex_sql
+    from dedupe_spark.operators.dedup import EMBEDDING_DIM as _emb_dim
 
     stop_sum = " + ".join(
         f"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {len(w) + 2}.0"
@@ -3138,7 +3134,7 @@ WITH p0 AS (
 {" UNION ALL ".join(f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {off}" for off in _AUC_PAIR_OFFSETS)}
 ),
 sc AS (
-    SELECT list_sum(list_transform(generate_series(1, 64), i ->
+    SELECT list_sum(list_transform(generate_series(1, {_emb_dim}), i ->
                CASE WHEN (ea.embedding[i] >= 0) = (eb.embedding[i] >= 0)
                     THEN 1 ELSE 0 END))::BIGINT AS s,
            ea.label = eb.label AS is_match

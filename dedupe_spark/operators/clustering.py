@@ -321,21 +321,46 @@ def edge_support(edges: DataFrame) -> DataFrame:
     self-join of adjacency keyed on the neighbor then a pair-keyed
     count — cost O(sum deg^2) over the CANDIDATE graph, whose degree the
     blocking stage already bounds (stop-band caps / meta-blocking); the
-    entity tables are never touched."""
-    e = edges.select("src", "dst")
-    adj = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    entity tables are never touched.
+
+    The input is treated as an UNDIRECTED simple graph: orientation and
+    duplicate rows are normalized away (least/greatest + distinct), and
+    self-loops never count as neighbors — a caller passing both (a, b)
+    and (b, a) gets the same support as one passing either."""
+    e_in = edges.select("src", "dst")
+    canon = (
+        e_in.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     # neighbor lists keyed by the shared neighbor w: (w, a) x (w, b)
     left = adj.select(F.col("dst").alias("w"), F.col("src").alias("src"))
     right = adj.select(F.col("dst").alias("w"), F.col("src").alias("dst"))
     tri = (
-        e.join(left, "src")
+        canon.join(left, "src")
         .join(right, ["dst", "w"])
         .where((F.col("w") != F.col("src")) & (F.col("w") != F.col("dst")))
         .groupBy("src", "dst")
         .agg(F.count("*").alias("support"))
     )
-    return e.join(tri, ["src", "dst"], "left").select(
-        "src", "dst", F.coalesce("support", F.lit(0)).alias("support")
+    return (
+        e_in.withColumn("_cs", F.least("src", "dst"))
+        .withColumn("_cd", F.greatest("src", "dst"))
+        .join(
+            tri.select(
+                F.col("src").alias("_cs"),
+                F.col("dst").alias("_cd"),
+                "support",
+            ),
+            ["_cs", "_cd"],
+            "left",
+        )
+        .select("src", "dst", F.coalesce("support", F.lit(0)).alias("support"))
     )
 
 
@@ -360,28 +385,47 @@ def prune_weak_edges(
     ``witness_edges``: additional (src, dst) edges that COUNT as
     neighbors but are never pruned themselves — e.g. exact-fingerprint
     duplicate links, which are certain and should both survive and
-    corroborate the near-dup edges around them."""
+    corroborate the near-dup edges around them.
+
+    Like :func:`edge_support`, the graph is normalized to an undirected
+    simple graph first — duplicate rows, reversed orientations, and
+    overlap between scored and witness edges never double-count a
+    neighbor (which would misclassify an isolated pair as a bridge)."""
     graph = scored_edges.select("src", "dst")
     if witness_edges is not None:
         graph = graph.unionByName(witness_edges.select("src", "dst"))
-    adj = graph.unionByName(
-        graph.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    canon = (
+        graph.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    adj = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = adj.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
-    sup = edge_support(graph)
+    sup = edge_support(canon)
     out = (
-        scored_edges.join(sup, ["src", "dst"])
+        scored_edges.withColumn("_cs", F.least("src", "dst"))
+        .withColumn("_cd", F.greatest("src", "dst"))
         .join(
-            deg.select(F.col("node").alias("src"), F.col("deg").alias("deg_src")),
-            "src",
+            sup.select(
+                F.col("src").alias("_cs"), F.col("dst").alias("_cd"), "support"
+            ),
+            ["_cs", "_cd"],
         )
         .join(
-            deg.select(F.col("node").alias("dst"), F.col("deg").alias("deg_dst")),
-            "dst",
+            deg.select(F.col("node").alias("_cs"), F.col("deg").alias("deg_src")),
+            "_cs",
+        )
+        .join(
+            deg.select(F.col("node").alias("_cd"), F.col("deg").alias("deg_dst")),
+            "_cd",
         )
     )
     is_bridge = (F.col("deg_src") > 1) & (F.col("deg_dst") > 1)
     keep = ~is_bridge | (F.col("support") >= min_support)
     if strong_score is not None:
         keep = keep | (F.col(score_col) >= strong_score)
-    return out.where(keep).drop("deg_src", "deg_dst")
+    return out.where(keep).drop("_cs", "_cd", "deg_src", "deg_dst")

@@ -624,23 +624,7 @@ def ngram_jaccard_pairs_prefix(
         if deps is not None:
             deps.append(grams)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-
-    # global rarity order: (gdf, g) — computed per gram, joined back
-    rarity = grams.groupBy("g").agg(F.count("*").alias("gdf"))
-
-    from pyspark.sql import Window
-
-    # the doc size comes from a count window over the SAME id partition
-    # the rank window already shuffles for — a second WindowExec on a
-    # shared exchange, replacing a join of the full gram table against
-    # `sizes` (measured 13.7 -> 11.9 s warm at sf0.1, round 4 A/B)
-    ranked = grams.join(rarity, "g")
-    w = Window.partitionBy("id").orderBy("gdf", "g")
-    ranked = ranked.withColumn("pos", F.row_number().over(w)).withColumn(
-        "sz", F.count("*").over(Window.partitionBy("id"))
-    )
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
-    prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
+    prefixes, _ = _rarity_ranked_prefixes(grams, threshold)
 
     cand = (
         prefixes.alias("a")
@@ -654,6 +638,31 @@ def ngram_jaccard_pairs_prefix(
     return _jaccard_for_candidates(grams, sizes, cand, threshold)
 
 
+def _rarity_ranked_prefixes(grams: DataFrame, threshold: float):
+    """Per-doc pigeonhole prefixes under the global rarity order, shared
+    by the Jaccard and containment prefix joins. Returns (prefixes,
+    rarity): each doc's first sz - ceil(t·sz) + 1 grams ordered by
+    (document frequency, gram), and the per-gram df table.
+
+    The doc size comes from a count window over the SAME id partition
+    the rank window already shuffles for — a second WindowExec on a
+    shared exchange, replacing a join of the full gram table against
+    the sizes aggregate (measured 13.7 -> 11.9 s warm at sf0.1,
+    round 4 A/B)."""
+    from pyspark.sql import Window
+
+    # global rarity order: (gdf, g) — computed per gram, joined back
+    rarity = grams.groupBy("g").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("id").orderBy("gdf", "g")
+    ranked = (
+        grams.join(rarity, "g")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
+    return ranked.where(F.col("pos") <= prefix_len).select("id", "g"), rarity
+
+
 def ngram_containment_pairs_prefix(
     df: DataFrame,
     id_col: str,
@@ -662,6 +671,7 @@ def ngram_containment_pairs_prefix(
     threshold: float = 0.9,
     deps: list | None = None,
     max_gram_df: int | None = None,
+    persist_grams: bool = True,
 ) -> DataFrame:
     """Asymmetric containment join: (id_sub, id_super) pairs where
     |grams(sub) ∩ grams(super)| / |grams(sub)| >= threshold.
@@ -691,22 +701,14 @@ def ngram_containment_pairs_prefix(
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    ).persist()  # feeds rarity, prefix, and both verification sides
-    if deps is not None:
-        deps.append(grams)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
-    rarity = grams.groupBy("g").agg(F.count("*").alias("gdf"))
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("id").orderBy("gdf", "g")
-    ranked = (
-        grams.join(rarity, "g")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
     )
-    prefix_len = F.col("sz") - F.ceil(F.col("sz") * F.lit(threshold)).cast("long") + 1
-    prefixes = ranked.where(F.col("pos") <= prefix_len).select("id", "g")
+    if persist_grams:
+        # feeds rarity, prefix, and both verification sides
+        grams = grams.persist()
+        if deps is not None:
+            deps.append(grams)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
+    prefixes, rarity = _rarity_ranked_prefixes(grams, threshold)
 
     probe = prefixes
     if max_gram_df is not None:

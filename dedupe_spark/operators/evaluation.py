@@ -108,10 +108,13 @@ def scorer_auc(
 
     — ties counted half, exactly the Mann-Whitney statistic. Returns a
     single row (auc, n_pos, n_neg); auc is NULL when either class is
-    empty (undefined, not 0)."""
+    empty (undefined, not 0). Pairs with a NULL label (unlabeled — e.g.
+    a record missing from the gold set after an outer join) are
+    EXCLUDED, not silently counted as negatives."""
     from pyspark.sql import Window
 
     is_pos = F.col(label_col)
+    scored_pairs = scored_pairs.where(is_pos.isNotNull())
     g = scored_pairs.groupBy(F.col(score_col).alias("s")).agg(
         F.sum(F.when(is_pos, 1).otherwise(0)).alias("pos"),
         F.sum(F.when(is_pos, 0).otherwise(1)).alias("neg"),

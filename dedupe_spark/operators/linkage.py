@@ -254,18 +254,27 @@ def unlinkables_histogram(
     given weight — the number that says what fraction of the corpus a
     threshold will leave as singletons, read BEFORE picking one.
 
-    Per-record best = one symmetric explode of the pair table + a
-    max-agg keyed by record id; histogram = floor-binning that (tiny)
-    per-record table and a cumulative window over the DISTINCT bins
-    only. Both aggs are map-side combinable; nothing is ranked over the
-    pair table. Records whose weights are all NULL (±inf Bayes factors)
+    Per-record best = ONE explode of the pair table (a 2-element
+    array(struct) per row, so the upstream pair-scoring plan is scanned
+    once — a union of two selects would execute it twice) + a max-agg
+    keyed by record id; histogram = floor-binning that (tiny) per-record
+    table and a cumulative window over the DISTINCT bins only. Both
+    aggs are map-side combinable; nothing is ranked over the pair
+    table. Records whose weights are all NULL (±inf Bayes factors)
     fall out of the max and are excluded — surfacing them is the
     caller's NULL-handling decision, not a silent zero bin."""
     per_side = scored.select(
-        F.col(id_a).alias("rid"), F.col(weight_col).alias("w")
-    ).unionByName(
-        scored.select(F.col(id_b).alias("rid"), F.col(weight_col).alias("w"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(id_a).alias("rid"), F.col(weight_col).alias("w")
+                ),
+                F.struct(
+                    F.col(id_b).alias("rid"), F.col(weight_col).alias("w")
+                ),
+            )
+        ).alias("side")
+    ).select("side.rid", "side.w")
     best = per_side.where(F.col("w").isNotNull()).groupBy("rid").agg(
         F.max("w").alias("best_w")
     )
@@ -273,8 +282,6 @@ def unlinkables_histogram(
         (F.floor(F.col("best_w") / F.lit(float(bin_width))) * F.lit(float(bin_width)))
         .alias("weight_bin")
     ).agg(F.count("*").alias("n_records"))
-    from pyspark.sql import Window
-
     # cumulative over the DISTINCT bins (bounded by the weight range /
     # bin width, not the corpus) — records at or below each bin = the
     # unlinkable count if the accept threshold were set just above it
@@ -319,13 +326,15 @@ def reciprocal_best_links(
 def term_frequencies(df: DataFrame, value_col: str) -> DataFrame:
     """Relative frequency of each value of ``value_col`` — the side
     table for term-frequency adjustment. One map-side-combinable agg;
-    the result has one row per distinct value (tiny → broadcast)."""
+    the result has one row per distinct value (tiny → broadcast). Fully
+    lazy like every other operator here: the total is a broadcast
+    1-row agg joined in, not an eager driver-side count()."""
     counts = df.groupBy(F.col(value_col).alias("value")).agg(
         F.count("*").alias("n")
     )
-    total = df.count()
-    return counts.select(
-        "value", (F.col("n") / F.lit(float(total))).alias("tf")
+    total = df.agg(F.count("*").cast("double").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value", (F.col("n") / F.col("_total")).alias("tf")
     )
 
 

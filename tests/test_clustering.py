@@ -285,3 +285,23 @@ def test_prune_weak_edges_exact_witnesses_corroborate(spark):
         scored, min_support=1, strong_score=0.9, witness_edges=witness
     ).collect()}
     assert kept == {(1, 2), (2, 3)}
+
+
+def test_prune_weak_edges_orientation_and_duplicates_normalized(spark):
+    """Both orientations / duplicate rows / witness overlap must not
+    double-count neighbors: an isolated pair listed in both directions
+    is still an isolated pair, not a bridge."""
+    from dedupe_spark.operators.clustering import edge_support, prune_weak_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.7), (2, 1, 0.7), (1, 2, 0.7)], "src long, dst long, score double"
+    )
+    # support stays 0 (no third node) and NO row is pruned
+    assert all(
+        r["support"] == 0 for r in edge_support(edges.select("src", "dst")).collect()
+    )
+    kept = prune_weak_edges(
+        edges, min_support=1, strong_score=0.9,
+        witness_edges=edges.select("src", "dst"),  # full overlap
+    )
+    assert kept.count() == 3  # every input row survives (isolated pair)
