@@ -547,18 +547,43 @@ def _jaccard_for_candidates(
     grams: DataFrame, sizes: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard for given candidate (id_a, id_b) pairs from an
-    exploded (id, g) gram table — the shared verification tail."""
+    exploded (id, g) gram table — the shared verification tail.
+
+    PPJoin's length filter runs FIRST: jaccard >= t forces
+    min(|A|,|B|) >= t * max(|A|,|B|), so length-incompatible candidates
+    are dropped by joining the (tiny, one-row-per-doc) sizes table
+    before the per-gram intersection join ever sees them — the pruning
+    costs two broadcast-scale joins and can only shrink the expensive
+    stage. The bound is epsilon-relaxed (NOT ceil'd: t*max computed in
+    floating point can land an ulp above an exact integer bound and
+    would then prune a legitimate boundary pair) — a few extra
+    candidates pass and the exact verification below removes them, so
+    exactness is untouched."""
+    sized = (
+        cand.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .where(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
+        )
+    )
     ga = grams.select(F.col("id").alias("id_a"), "g")
     gb = grams.select(F.col("id").alias("id_b"), "g")
     inter = (
-        cand.join(ga, "id_a")
+        sized.select("id_a", "id_b")
+        .join(ga, "id_a")
         .join(gb, ["id_b", "g"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        inter.join(sized.select("id_a", "id_b", "sz_a", "sz_b"), ["id_a", "id_b"])
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
