@@ -554,11 +554,15 @@ def _jaccard_for_candidates(
     are dropped by joining the (tiny, one-row-per-doc) sizes table
     before the per-gram intersection join ever sees them — the pruning
     costs two broadcast-scale joins and can only shrink the expensive
-    stage. The bound is epsilon-relaxed (NOT ceil'd: t*max computed in
-    floating point can land an ulp above an exact integer bound and
-    would then prune a legitimate boundary pair) — a few extra
-    candidates pass and the exact verification below removes them, so
-    exactness is untouched."""
+    stage. The bound compares the SIZE RATIO against a relatively
+    relaxed threshold (NOT ceil(t*max): t*max computed in floating
+    point can land an ulp above an exact integer bound and would prune
+    a legitimate boundary pair; an absolute epsilon fails the same way
+    once max is large enough that its rounding error exceeds it) — a
+    few extra candidates pass and the exact verification below removes
+    them, so exactness is untouched at any document size. The size
+    columns ride through the aggregation key (a per-pair constant, free
+    for the hash agg) so the `sized` subtree evaluates once."""
     sized = (
         cand.join(
             sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
@@ -570,20 +574,17 @@ def _jaccard_for_candidates(
         )
         .where(
             F.least("sz_a", "sz_b").cast("double")
-            >= F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(1e-9)
+            / F.greatest("sz_a", "sz_b")
+            >= F.lit(threshold) - F.lit(1e-12)
         )
     )
     ga = grams.select(F.col("id").alias("id_a"), "g")
     gb = grams.select(F.col("id").alias("id_b"), "g")
-    inter = (
-        sized.select("id_a", "id_b")
-        .join(ga, "id_a")
-        .join(gb, ["id_b", "g"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     return (
-        inter.join(sized.select("id_a", "id_b", "sz_a", "sz_b"), ["id_a", "id_b"])
+        sized.join(ga, "id_a")
+        .join(gb, ["id_b", "g"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("n_inter"))
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
