@@ -112,7 +112,10 @@ def _sharded_positions(
 class Bloom:
     num_bits: int  # total bits across shards
     num_hash: int
-    words: np.ndarray  # uint64[ceil(num_bits/64)], shards laid out flat
+    # compare=False: the dataclass __eq__ would otherwise evaluate
+    # `self.words == other.words` elementwise and bool() it — every
+    # `bloom_a == bloom_b` (or list membership test) raises ValueError
+    words: np.ndarray = field(compare=False)  # uint64[ceil(num_bits/64)], flat shards
     n_items: int  # items inserted at build time (for metrics)
     # sharded layout (None => single monolithic filter)
     shard_bits: list[int] | None = None
@@ -239,8 +242,21 @@ class Bloom:
 
     @property
     def fill_ratio(self) -> float:
-        bits = np.unpackbits(self.words.view(np.uint8))
-        return int(bits.sum()) / self.num_bits
+        # popcount WITHOUT materializing an 8x unpacked copy: a full
+        # np.unpackbits of a 256 MB bitmap transiently allocates ~2 GB
+        # on the driver (bloom_preprune reads this per pipeline run).
+        # np.bitwise_count (numpy >= 2) is allocation-free; the fallback
+        # unpacks in bounded chunks.
+        bytes_view = self.words.view(np.uint8)
+        if hasattr(np, "bitwise_count"):
+            ones = int(np.bitwise_count(bytes_view).sum(dtype=np.int64))
+        else:
+            chunk = 1 << 22  # 4 MB of input -> 32 MB unpacked, bounded
+            ones = sum(
+                int(np.unpackbits(bytes_view[i : i + chunk]).sum(dtype=np.int64))
+                for i in range(0, bytes_view.size, chunk)
+            )
+        return ones / self.num_bits
 
     # -- serialization (reference BloomFilter.cpp:439-487) -------------
     def to_bytes(self) -> bytes:

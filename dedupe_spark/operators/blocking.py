@@ -179,18 +179,22 @@ def candidate_pairs(
     return pairs_cold.select("id_a", "id_b").union(pairs_hot.select("id_a", "id_b")).distinct()
 
 
-def exact_key_pairs(df: DataFrame, id_col: str, key_col: str, max_block: int = 10_000) -> DataFrame:
+def exact_key_pairs(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     """Pairs sharing an exact fingerprint (md5 path, D1): group -> min id.
 
     For exact keys we don't need the quadratic pair set — first-writer-
     wins edges (everyone -> group min) are enough for connected
     components and keep output linear in group size (the reference's
     unique-block registry semantics, src/deduplication.cpp:1419-1449).
-    """
+    Because output is linear, there is deliberately NO group-size cap
+    here: the candidate-join stop-band exists to stop quadratic skew,
+    but a 50k-copy boilerplate group is exactly the highest-redundancy
+    case exact dedup must catch, and capping it would silently drop
+    every edge for the biggest duplicate groups."""
     keyed = df.select(F.col(key_col).alias("k"), F.col(id_col).alias("id"))
     mins = keyed.groupBy("k").agg(F.min("id").alias("id_a"), F.count("*").alias("n"))
     return (
-        keyed.join(mins.where(F.col("n") >= 2).where(F.col("n") <= max_block), "k")
+        keyed.join(mins.where(F.col("n") >= 2), "k")
         .where(F.col("id") != F.col("id_a"))
         .select("id_a", F.col("id").alias("id_b"))
     )
@@ -213,10 +217,15 @@ def blocking_quality(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     shuffles total, output is one row. ``candidate_pairs`` is
     sum(n*(n-1)/2) over blocks; ``reduction_ratio`` = 1 - candidates /
     C(N,2). All counts are exact, not sketches: a blocking decision is
-    worth one pass.
+    worth one pass. NULL keys are excluded — the equi-joins this metric
+    forecasts (candidate_pairs / exact_key_pairs) never match NULLs, so
+    counting them as one giant block would wrongly veto a fine key on
+    any corpus with nullable keys (NULL-key rows are excluded from
+    every stat — they generate no candidates).
     """
     blocks = (
         df.select(F.col(key_col).alias("k"), F.col(id_col).alias("id"))
+        .where(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.count("*").alias("n"))
     )

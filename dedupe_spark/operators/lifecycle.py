@@ -96,6 +96,7 @@ def register_turns_incremental(
     bloom_shards: int = 1,
     max_driver_bytes: int | None = 256 << 20,
     state: dict | None = None,
+    n_buckets: int = REGISTRY_BUCKETS,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental ingest against an EXISTING registry — the reference's
     ``prepare_insert`` + ``register_block`` probe flow
@@ -161,13 +162,19 @@ def register_turns_incremental(
     # probe on (fp_bucket, fp) — the bucket equi-key lets the scan prune
     # to the probed buckets (static partition filters / DPP) instead of
     # reading the whole registry per batch (SURVEY §1.2; VERDICT r3 #1)
+    # ``n_buckets`` MUST match the registry's written layout: the probe
+    # recomputes fp_bucket for the incoming batch, and a mismatched
+    # modulus silently misses every existing fingerprint (duplicate
+    # block ids, broken reconstruct) rather than erroring. Registries
+    # written with a non-default with_fp_bucket(n_buckets=...) must pass
+    # the same value here (and in stream_register_turns).
     bucketed = "fp_bucket" in unique_turns.columns
     probe_keys = ["fp_bucket", "fp"] if bucketed else ["fp"]
     u_probe = unique_turns.select(*probe_keys, "block_id")
 
     flagged = t.select("fp").distinct()
     if bucketed:
-        flagged = with_fp_bucket(flagged)
+        flagged = with_fp_bucket(flagged, n_buckets=n_buckets)
     if bloom is not None:
         flagged = bloom.flag(flagged, "fp", "_maybe")
         probed = flagged.where("_maybe").join(u_probe, probe_keys, "left")

@@ -87,12 +87,19 @@ def make_minhash_udf(num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED)
         lens = shingles.map(len).to_numpy(dtype=np.int64)
         if lens.sum() == 0:
             return pd.Series([[0] * num_perm] * len(shingles))
-        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shingles]).astype(
-            np.uint64
-        )
-        offsets = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        out = np.empty((len(lens), num_perm), dtype=np.uint64)
+        # reduceat mishandles empty segments (offsets[i] == offsets[i+1]
+        # returns a[offsets[i]], a trailing empty segment is an index
+        # error), so compute on the non-empty rows and scatter back —
+        # empty rows get the same all-zero sentinel as the empty batch.
+        # Which rows are empty must not depend on Arrow batch boundaries.
+        nonempty = lens > 0
+        lens_ne = lens[nonempty]
+        flat = np.concatenate(
+            [np.asarray(s, dtype=np.int64) for s in shingles if len(s) > 0]
+        ).astype(np.uint64)
+        offsets = np.zeros(len(lens_ne), dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=offsets[1:])
+        out_ne = np.empty((len(lens_ne), num_perm), dtype=np.uint64)
         # chunk permutations to bound the (n_shingles x chunk) temp matrix
         chunk = max(1, min(num_perm, (64 << 20) // max(1, flat.size * 8)))
         for lo in range(0, num_perm, chunk):
@@ -100,7 +107,9 @@ def make_minhash_udf(num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED)
             # (M, c) = a*h + b mod 2^64 — deterministic odd-multiplier
             # permutation family, no division (see _perm_params)
             m = flat[:, None] * a_params[None, lo:hi] + b_params[None, lo:hi]
-            out[:, lo:hi] = np.minimum.reduceat(m, offsets, axis=0)
+            out_ne[:, lo:hi] = np.minimum.reduceat(m, offsets, axis=0)
+        out = np.zeros((len(lens), num_perm), dtype=np.uint64)
+        out[nonempty] = out_ne
         signed = out.astype(np.int64)
         return pd.Series(list(signed))
 
@@ -120,6 +129,14 @@ def band_keys(sig: Column | str, bands: int = DEFAULT_BANDS, num_perm: int = DEF
     slower at 5k docs x 32 bands.
     """
     c = F.col(sig) if isinstance(sig, str) else sig
+    if num_perm % bands != 0 or bands > num_perm:
+        # bands > num_perm gives r=0 (every doc shares every key — the
+        # stop band then drops ALL candidates with no error); a
+        # non-divisible split silently ignores the tail of the
+        # signature, changing the s-curve from what the config implies
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a positive multiple of bands ({bands})"
+        )
     r = num_perm // bands
     return F.array(
         *[

@@ -55,19 +55,29 @@ def jaccard_expr(sh_a: Column, sh_b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def lev_ratio_expr(doc_a: Column, doc_b: Column, prefix_cap: int = LEV_PREFIX_CAP) -> Column:
+def lev_ratio_expr(
+    doc_a: Column,
+    doc_b: Column,
+    prefix_cap: int = LEV_PREFIX_CAP,
+    min_ratio: float = LEV_ACCEPT,
+) -> Column:
     """1 - levenshtein/max_len over the first ``prefix_cap`` chars.
 
     The distance threshold bounds the JVM DP to O(n * threshold) and the
     prefix cap bounds n — the worst-case cost per pair is a constant,
     which is what lets a skewed corpus widen the ambiguous band without
-    blowing up the stage. Distances beyond the threshold can't reach
-    LEV_ACCEPT anyway, so the early-exit (-1) maps to ratio 0.
+    blowing up the stage. ``min_ratio`` is the smallest ratio the CALLER
+    still distinguishes: distances beyond its threshold collapse to
+    ratio 0 via the early-exit (-1). The default matches the fixed
+    LEV_ACCEPT decider; a caller that bins ratios below LEV_ACCEPT
+    (the Fellegi-Sunter gamma cuts reach 0.65) must pass its own
+    lowest cut or the bins between it and LEV_ACCEPT collapse to 0 on
+    long documents and skew the fitted distribution.
     """
     a = F.substring(doc_a, 1, prefix_cap)
     b = F.substring(doc_b, 1, prefix_cap)
     max_len = F.greatest(F.length(a), F.length(b))
-    threshold = int(prefix_cap * (1.0 - LEV_ACCEPT)) + 1
+    threshold = int(prefix_cap * (1.0 - min_ratio)) + 1
     dist = F.levenshtein(a, b, threshold)
     return F.when(max_len == 0, F.lit(1.0)).when(dist < 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - dist.cast("double") / max_len.cast("double")
@@ -357,11 +367,16 @@ def score_pairs(
         )
         scored = amb.unionByName(rest)
     elif decider == "fellegi_sunter":
+        # the FS gamma cuts bin ratios down to min(_FS_LEV_CUTS) < LEV_ACCEPT,
+        # so the early-exit bound must widen accordingly (see lev_ratio_expr)
         scored = jacc.withColumn(
             "lev_ratio",
-            F.when(in_band, lev_ratio_expr(F.col("doc_a"), F.col("doc_b"))).otherwise(
-                F.lit(-1.0)
-            ),
+            F.when(
+                in_band,
+                lev_ratio_expr(
+                    F.col("doc_a"), F.col("doc_b"), min_ratio=min(_FS_LEV_CUTS)
+                ),
+            ).otherwise(F.lit(-1.0)),
         )
         if deps is not None:
             scored = scored.persist()
@@ -509,10 +524,14 @@ def tfidf_cosine_on_pairs(
     )
     na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
     nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    # norms joins are LEFT: a side with NULL/empty text (or an id absent
+    # from docs) has no norms row, and an inner join would silently drop
+    # the pair instead of honoring the documented cosine-0 contract —
+    # the missing norm falls through the (na > 0) guard to 0.0
     return (
         p.join(dots, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
+        .join(na, "id_a", "left")
+        .join(nb, "id_b", "left")
         .select(
             "id_a",
             "id_b",

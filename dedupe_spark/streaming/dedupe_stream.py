@@ -84,6 +84,7 @@ def stream_register_turns(
     max_files: int = 1,
     synchronous: bool = True,
     compact_every: int = 0,
+    n_buckets: int | None = None,
 ):
     """Continuous registry ingest: ``foreachBatch`` drives
     ``register_turns_incremental`` so the stream maintains the SAME
@@ -124,10 +125,15 @@ def stream_register_turns(
 
     from dedupe_spark.functions.bloom import Bloom
     from dedupe_spark.operators.lifecycle import (
+        REGISTRY_BUCKETS,
         register_turns,
         register_turns_incremental,
         with_fp_bucket,
     )
+
+    # one modulus for the bootstrap layout, every probe, and every delta
+    # append — a mismatch anywhere silently misses existing fps
+    buckets = REGISTRY_BUCKETS if n_buckets is None else n_buckets
 
     stream = read_transcript_stream(spark, input_path, max_files=max_files)
 
@@ -138,7 +144,7 @@ def stream_register_turns(
             # HashDB mapping) so later probes prune to their buckets
             u0, m0 = register_turns(batch_df)
             catalog.write(
-                "unique_turns", with_fp_bucket(u0),
+                "unique_turns", with_fp_bucket(u0, n_buckets=buckets),
                 partition_by=["fp_bucket"], summary={"batch_id": batch_id},
             )
             catalog.write("membership", m0, summary={"batch_id": batch_id})
@@ -170,7 +176,9 @@ def stream_register_turns(
             if bloom.fill_ratio > 0.5:
                 bloom = None
         state: dict = {}
-        register_turns_incremental(batch_df, u, m, registry_bloom=bloom, state=state)
+        register_turns_incremental(
+            batch_df, u, m, registry_bloom=bloom, state=state, n_buckets=buckets
+        )
         # O(batch) append commits: only the delta rows are written.
         # unique_turns first — readers joining membership to unique_turns
         # never see a block_id the registry lacks. new_unique is cached
@@ -179,7 +187,8 @@ def stream_register_turns(
         new_unique = state["new_unique"].persist()
         try:
             catalog.write(
-                "unique_turns", with_fp_bucket(new_unique), mode="append",
+                "unique_turns", with_fp_bucket(new_unique, n_buckets=buckets),
+                mode="append",
                 partition_by=["fp_bucket"], summary={"batch_id": batch_id},
             )
             catalog.write(

@@ -179,3 +179,28 @@ def test_bloom_preprune_no_candidate_loss(spark):
     assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, bloomed.collect()))
     assert stats["bloom_repeated_keys"] == 40
     assert 0 < stats["bloom_fill_ratio"] < 1
+
+
+def test_bloom_equality_does_not_raise(spark):
+    """The dataclass __eq__ must not bool() the words ndarray — equality
+    and list-membership tests are legal (identity-ish on metadata)."""
+    from dedupe_spark.functions.bloom import build_bloom
+
+    df = spark.createDataFrame([(str(i),) for i in range(10)], "k string")
+    b1 = build_bloom(df, "k", fpp=0.01)
+    b2 = build_bloom(df, "k", fpp=0.01)
+    assert b1 == b2            # same metadata, words excluded
+    assert b1 in [b2]          # membership uses __eq__
+    assert (b1 == build_bloom(df, "k", fpp=0.001)) is False
+
+
+def test_fill_ratio_chunked_popcount_matches_unpack(spark):
+    """The chunked/bitwise_count popcount equals the naive full unpack."""
+    import numpy as np
+
+    from dedupe_spark.functions.bloom import build_bloom
+
+    df = spark.createDataFrame([(str(i),) for i in range(500)], "k string")
+    b = build_bloom(df, "k", fpp=0.01)
+    naive = int(np.unpackbits(b.words.view(np.uint8)).sum()) / b.num_bits
+    assert b.fill_ratio == naive

@@ -89,3 +89,26 @@ def test_exact_key_pairs_first_writer_wins(spark):
     df = spark.createDataFrame(rows, "id string, k string")
     got = {(r["id_a"], r["id_b"]) for r in blocking.exact_key_pairs(df, "id", "k").collect()}
     assert got == {("a", "b"), ("a", "c")}
+
+
+def test_exact_key_pairs_no_group_size_cap(spark):
+    """A giant exact-duplicate group (boilerplate at scale) must yield
+    first-writer-wins edges for EVERY member — output is linear in group
+    size, so no stop-band cap applies here."""
+    n = 20_000
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(n)] + [(n, "other")], "id long, k string"
+    )
+    edges = blocking.exact_key_pairs(df, "id", "k")
+    assert edges.count() == n - 1
+    assert edges.agg(F.min("id_a"), F.max("id_b")).collect()[0] == (0, n - 1)
+
+
+def test_blocking_quality_ignores_null_keys(spark):
+    """NULL keys never join, so they must not contribute candidates."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, None)], "id long, k string"
+    )
+    (r,) = blocking.blocking_quality(df, "id", "k").collect()
+    assert r["candidate_pairs"] == 1  # only the "a" block
+    assert r["n_blocks"] == 1

@@ -62,3 +62,38 @@ def test_fast_path_recall_vs_exact_jaccard(spark):
         for r in entrymod.queries()["q21_fast_minhash_pairs"](spark, SF_DIR).collect()
     }
     assert truth <= fast, f"missed {truth - fast}"
+
+
+def test_minhash_udf_mixed_empty_rows(spark):
+    """A batch mixing empty and non-empty shingle arrays: empty rows get
+    the all-zero sentinel (same as an all-empty batch) and non-empty
+    rows keep the exact signature they'd get alone — regardless of
+    which rows around them are empty (reduceat's empty-segment
+    semantics must never leak a neighbor's data)."""
+    from dedupe_spark.operators.minhash import make_minhash_udf
+
+    udf = make_minhash_udf(num_perm=8)
+    rows = [(1, [5, 7]), (2, []), (3, [11]), (4, [])]  # trailing empty
+    df = spark.createDataFrame(rows, "id long, sh array<long>")
+    got = {r["id"]: r["sig"] for r in df.select("id", udf("sh").alias("sig")).collect()}
+    alone = {
+        r["id"]: r["sig"]
+        for r in spark.createDataFrame([(1, [5, 7]), (3, [11])], "id long, sh array<long>")
+        .select("id", udf("sh").alias("sig"))
+        .collect()
+    }
+    assert got[1] == alone[1] and got[3] == alone[3]
+    assert got[2] == [0] * 8 and got[4] == [0] * 8
+
+
+def test_band_keys_divisibility_guard():
+    """bands must divide num_perm: r=0 (all docs share all keys) and a
+    silently-truncated signature are both config errors, not behaviors."""
+    import pytest
+
+    from dedupe_spark.operators.minhash import band_keys
+
+    with pytest.raises(ValueError):
+        band_keys("sig", bands=256, num_perm=128)
+    with pytest.raises(ValueError):
+        band_keys("sig", bands=48, num_perm=128)

@@ -78,3 +78,21 @@ def test_identical_docs_score_one(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     (r,) = tfidf_cosine_on_pairs(docs, pairs, "doc_id", "text").collect()
     assert r["tfidf_cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_null_text_side_scores_zero_not_dropped(spark):
+    """A pair whose side has NULL text (or is missing from docs) must
+    appear in the output with cosine 0 — not silently vanish."""
+    from dedupe_spark.operators.scoring import tfidf_cosine_on_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 99)], "id_a long, id_b long"  # 99 absent from docs
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["tfidf_cosine"]
+        for r in tfidf_cosine_on_pairs(docs, pairs, "doc_id", "text").collect()
+    }
+    assert got == {(1, 2): 0.0, (1, 99): 0.0}
