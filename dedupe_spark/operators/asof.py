@@ -152,11 +152,17 @@ def asof_join_pandas(
         rpdf = rpdf.drop(columns=["_b"]).sort_values(
             [right_ts, *right_vals], kind="mergesort"
         )
+        # the right ts gets a reserved name before the merge: if the
+        # LEFT frame happens to carry a data column named ``right_ts``,
+        # merge_asof would suffix both to _x/_y and the reselect below
+        # would KeyError — every right column must be collision-free
         merged = pd.merge_asof(
             lpdf,
-            rpdf.rename(columns={c: f"asof_{c}" for c in right_vals}),
+            rpdf.rename(
+                columns={right_ts: "_asof_rts", **{c: f"asof_{c}" for c in right_vals}}
+            ),
             left_on=left_ts,
-            right_on=right_ts,
+            right_on="_asof_rts",
             by=key,
             direction="backward",
         )

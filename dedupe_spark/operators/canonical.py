@@ -61,8 +61,12 @@ def golden_records(
 
     out = sizes.join(canon, cluster_col)
     for c in mode_cols:
+        # asc_nulls_last: Spark's plain asc sorts NULL first, so on a
+        # frequency tie between NULL and a real value the golden record
+        # would come back NULL — survivorship prefers populated values
+        # (and DuckDB's default ASC is NULLS LAST, keeping oracle parity)
         mw = Window.partitionBy(cluster_col).orderBy(
-            F.col("_n").desc(), F.col(c).asc()
+            F.col("_n").desc(), F.col(c).asc_nulls_last()
         )
         mode = (
             d.groupBy(cluster_col, c)

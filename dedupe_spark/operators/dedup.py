@@ -883,9 +883,12 @@ def embedding_cosine_pairs(
         b = d.select(*(F.col(c).alias(f"{c}_b") for c in ("id", "v", "nrm")))
         joined = a.crossJoin(b)
     dot = F.aggregate(F.zip_with("v_a", "v_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    # zero-norm guard: ANSI mode (Spark 4 default) turns division by a
+    # zero-norm vector into a job-aborting DIVIDE_BY_ZERO; score 0
+    denom = F.col("nrm_a") * F.col("nrm_b")
     return (
         joined.where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
+        .withColumn("cosine", F.when(denom > 0, dot / denom).otherwise(F.lit(0.0)))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -26,13 +26,21 @@ from dedupe_spark.functions.ids import with_dense_id
 REGISTRY_BUCKETS = 64
 
 
-def with_fp_bucket(df: DataFrame, n_buckets: int = REGISTRY_BUCKETS) -> DataFrame:
+def with_fp_bucket(
+    df: DataFrame,
+    n_buckets: int = REGISTRY_BUCKETS,
+    key_col: str = "fp",
+    out_col: str = "fp_bucket",
+) -> DataFrame:
     """Deterministic bucket column for partitioned registry layout:
-    ``pmod(xxhash64(fp), n)``. Writers pass ``partition_by=["fp_bucket"]``
+    ``pmod(xxhash64(key), n)``. Writers pass ``partition_by=[out_col]``
     to the catalog; probes filtered/joined on the same expression scan
-    only the matching bucket directories (partition pruning / DPP)."""
+    only the matching bucket directories (partition pruning / DPP).
+    The SINGLE source of the bucket formula — the doc-level index
+    tables (pipeline key_bucket) reuse it with a different key/out
+    column so writer and probe can never drift."""
     return df.withColumn(
-        "fp_bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int")
+        out_col, F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
     )
 
 

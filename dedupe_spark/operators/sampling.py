@@ -36,10 +36,18 @@ HEX_SPACE = 16 ** 8  # first 8 md5 hex chars
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """Zero-padded 8-char lowercase-hex threshold for a keep rate."""
+    """Zero-padded 8-char lowercase-hex threshold for a keep rate.
+
+    Rate 1.0 returns "g" — lexicographically above every hex prefix —
+    so the strict-< gate keeps ALL rows. Clamping to "ffffffff" instead
+    would silently drop the ~2^-32 of keys whose md5 prefix is exactly
+    that, making a rate-1.0 sample not the identity (~230 lost rows per
+    10^12 at design scale)."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * HEX_SPACE), HEX_SPACE - 1), "08x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * HEX_SPACE), "08x")
 
 
 def sample_gate_expr(key: Column, rate: float) -> Column:

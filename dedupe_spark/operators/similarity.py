@@ -27,6 +27,15 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """dot/(na*nb) with a zero-norm guard: Spark 4 defaults to ANSI mode,
+    where an unguarded division by a zero-norm vector (empty/whitespace
+    doc embedded as all-zeros) raises DIVIDE_BY_ZERO and aborts the whole
+    job — a zero vector has no direction, score it 0, not a crash."""
+    denom = na * nb
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
 def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
 
@@ -52,7 +61,7 @@ def brute_force_topk(
     )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
+        .withColumn("cosine", _cosine(_dot(F.col("v"), F.col("qv")), F.col("nv"), F.col("nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -85,7 +94,7 @@ def ivf_assign(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nv")
         )
         .join(F.broadcast(c))
-        .withColumn("s", _dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc")))
+        .withColumn("s", _cosine(_dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("nc")))
     )
     w = Window.partitionBy("id").orderBy(F.desc("s"), F.asc("cid"))
     return (
@@ -174,7 +183,7 @@ def ivf_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("nq")
         )
         .join(F.broadcast(c))
-        .withColumn("s", _dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")))
+        .withColumn("s", _cosine(_dot(F.col("qv"), F.col("cv")), F.col("nq"), F.col("nc")))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("cid"))
     probes = (
@@ -185,7 +194,7 @@ def ivf_topk(
     scored = (
         v.join(F.broadcast(probes), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
+        .withColumn("cosine", _cosine(_dot(F.col("v"), F.col("qv")), F.col("nv"), F.col("nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -254,7 +263,7 @@ def bucketed_topk(
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
+        .withColumn("cosine", _cosine(_dot(F.col("v"), F.col("qv")), F.col("nv"), F.col("nq")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -304,7 +313,7 @@ def semantic_dedup(
     pairs = (
         l.join(r, "cell")
         .where(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")))
     )
     per_id = pairs.groupBy("id_a").agg(
         F.max("cos").alias("nn_sim"),

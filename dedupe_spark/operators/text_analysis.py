@@ -221,8 +221,13 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
     language-marker argmax), so the funnel costs one scan at any corpus
     size and the verdict column is partition-pruning-friendly when the
     output is written partitioned by verdict.
+
+    NULL text is treated as empty — without the coalesce every length
+    rule's condition evaluates NULL (skipped) while uniq_frac's guard
+    falls through to 0.0, mislabeling NULL docs 'repetitive' instead of
+    'too_short' and corrupting the per-rule funnel counts.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = F.split(F.trim(t), r"\s+")
     n_words = F.size(toks)
     n_chars = F.length(t)

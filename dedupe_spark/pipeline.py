@@ -333,11 +333,13 @@ def commit(result: PipelineResult, catalog: SnapshotCatalog) -> None:
     )
 
 
-def _with_key_bucket(df: DataFrame, key_col: str, n_buckets: int = 64) -> DataFrame:
-    """pmod(xxhash64(key), n) partition column (the registry's fp_bucket
-    geometry for the doc-level index tables)."""
-    return df.withColumn(
-        "key_bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+def _with_key_bucket(df: DataFrame, key_col: str) -> DataFrame:
+    """key_bucket partition column for the doc-level index tables —
+    delegates to lifecycle.with_fp_bucket so the bucket formula AND
+    modulus live in exactly one place (a drifted copy here would
+    silently miss every committed key on incremental probes)."""
+    return lifecycle.with_fp_bucket(
+        df, n_buckets=lifecycle.REGISTRY_BUCKETS, key_col=key_col, out_col="key_bucket"
     )
 
 
@@ -501,8 +503,15 @@ def run_incremental(
         salt_groups=cfg.salt_groups,
     )
     cands = cand_no.union(cand_nn).distinct()
+    # anti-join on the CANONICAL orientation: cands are (least, greatest)
+    # but exact_old edges are (old_group_min, new_id) — when a new id
+    # sorts before the committed group min, a verbatim compare would
+    # miss the pair and re-score an exact duplicate
     cands = cands.join(
-        exact_edges.withColumnRenamed("id_a", "ea").withColumnRenamed("id_b", "eb"),
+        exact_edges.select(
+            F.least("id_a", "id_b").alias("ea"),
+            F.greatest("id_a", "id_b").alias("eb"),
+        ),
         (F.col("id_a") == F.col("ea")) & (F.col("id_b") == F.col("eb")),
         "left_anti",
     )
@@ -553,10 +562,19 @@ def run_incremental(
     ).select("conv_id", "cluster_id")
 
     # 7. commit: every table takes an O(delta) append; the clusters log
-    # carries a monotone version for the merge-on-read window
-    v = catalog.current_snapshot_id("cluster_updates") + 1 if catalog.exists(
-        "cluster_updates"
-    ) else 1
+    # carries a monotone version for the merge-on-read window. The
+    # version is PIPELINE-OWNED (max _v in the log + 1), never a backend
+    # snapshot id: SnapshotCatalog ids happen to be monotone but Iceberg
+    # snapshot ids are random longs, and a non-monotone _v would rank an
+    # older update above a newer one in current_clusters — silently
+    # stale assignments on that backend
+    if catalog.exists("cluster_updates"):
+        prev_v = (
+            catalog.read("cluster_updates").agg(F.max("_v")).collect()[0][0] or 0
+        )
+        v = int(prev_v) + 1
+    else:
+        v = 1
     catalog.write(
         "unique_turns",
         lifecycle.with_fp_bucket(state["new_unique"]),

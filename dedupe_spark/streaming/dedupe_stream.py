@@ -186,6 +186,14 @@ def stream_register_turns(
         # merged registry, which embeds the same new_unique subtree).
         new_unique = state["new_unique"].persist()
         try:
+            # bloom BEFORE the catalog commit: an extra fp in the filter
+            # is only a false positive (the maybe-path still probes the
+            # registry), but the reverse crash window — commit done,
+            # save skipped — leaves a filter MISSING committed fps,
+            # whose bloom-negative short-circuit would silently
+            # re-register them under fresh block ids in a later batch
+            if bloom_path and "bloom" in state:
+                state["bloom"].save(bloom_path)
             catalog.write(
                 "unique_turns", with_fp_bucket(new_unique, n_buckets=buckets),
                 mode="append",
@@ -197,8 +205,6 @@ def stream_register_turns(
             )
         finally:
             new_unique.unpersist()
-        if bloom_path and "bloom" in state:
-            state["bloom"].save(bloom_path)
         if compact_every and (batch_id + 1) % compact_every == 0:
             # append commits are O(batch) but each adds a data dir to the
             # read view; periodic compaction folds the view back to one

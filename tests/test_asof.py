@@ -115,3 +115,18 @@ def test_range_join_count(spark, asof_data):
     # oid3 window [5m, 25m): u2 event at 7m -> 1
     # oid4: u3 none -> 0
     assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_asof_pandas_left_column_named_like_right_ts(spark):
+    """The left frame carrying a data column with the same name as
+    right_ts must not break the cogroup merge (merge_asof suffixing)."""
+    from dedupe_spark.operators.asof import asof_join_pandas
+
+    left = spark.createDataFrame(
+        [("k1", 10, "left-data")], "k string, lts long, ts string"
+    )
+    right = spark.createDataFrame([("k1", 5, 99)], "k string, ts long, v long")
+    (r,) = asof_join_pandas(
+        left, right, key="k", left_ts="lts", right_ts="ts", right_vals=["v"]
+    ).collect()
+    assert r["asof_v"] == 99 and r["ts"] == "left-data"

@@ -244,3 +244,22 @@ def test_scorer_auc_single_class_is_null(spark):
     )
     (r,) = scorer_auc(one_class, "score", "is_match").collect()
     assert r["auc"] is None and r["n_pos"] == 2 and r["n_neg"] == 0
+
+
+def test_golden_record_mode_tie_prefers_populated_value(spark):
+    """On a frequency tie between NULL and a real value, survivorship
+    picks the real value (asc_nulls_last), not NULL."""
+    from dedupe_spark.operators.canonical import golden_records
+
+    docs = spark.createDataFrame(
+        [
+            (1, "text one long", None, "s", 13),
+            (2, "text two long!", None, "s", 14),
+            (3, "text three xl!!", "en", "s", 15),
+            (4, "text four xxl!!!", "en", "s", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assign = spark.createDataFrame([(i, 1) for i in (1, 2, 3, 4)], "doc_id long, cluster_id long")
+    (r,) = golden_records(docs, assign).collect()
+    assert r["lang"] == "en"

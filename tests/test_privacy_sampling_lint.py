@@ -67,7 +67,10 @@ def test_pii_rules_have_distinct_tokens():
 
 def test_rate_threshold_hex_bounds():
     assert rate_threshold_hex(0.0) == "00000000"
-    assert rate_threshold_hex(1.0) == "ffffffff"
+    # rate 1.0 must be the identity sample: "g" sorts above every hex
+    # prefix, so even md5 prefix "ffffffff" passes the strict-< gate
+    assert rate_threshold_hex(1.0) == "g"
+    assert all(h < rate_threshold_hex(1.0) for h in ("00000000", "ffffffff"))
     assert rate_threshold_hex(0.5) == "80000000"
     with pytest.raises(ValueError):
         rate_threshold_hex(1.5)

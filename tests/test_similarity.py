@@ -145,3 +145,19 @@ def test_hyperplane_buckets_beat_axis_aligned_on_correlated_embeddings():
     assert max_bucket_frac(ax_bits(base2)) == 1.0
     assert max_bucket_frac(hp_bits(base2)) < max_bucket_frac(ax_bits(base2))
     assert max_bucket_frac(hp_bits(base)) <= 0.5  # balanced on centered data
+
+
+def test_zero_norm_vector_scores_zero_not_crash(spark):
+    """ANSI mode (Spark 4 default) aborts on divide-by-zero: a zero-norm
+    embedding (empty doc) must score cosine 0, not kill the job."""
+    from dedupe_spark.operators.similarity import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.where("vec_id = 1")
+    rows = brute_force_topk(
+        vecs, queries, id_col="vec_id", vec_col="embedding", k=5
+    ).collect()
+    assert len(rows) == 2  # both non-query vectors ranked, no crash

@@ -143,3 +143,12 @@ def test_tfidf_top_terms(spark):
     got = dict((t, s) for _, t, _, s in by_doc[1])
     assert got["apple"] == round(2 * math.log(3 / 1), 6)
     assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_filter_funnel_null_text_is_too_short(spark):
+    """NULL text behaves as empty -> 'too_short', never 'repetitive'."""
+    from dedupe_spark.operators.text_analysis import filter_funnel
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r["verdict"] for r in filter_funnel(df).collect()}
+    assert got[1] == got[2] == "too_short"
