@@ -420,10 +420,12 @@ def q21_fast_minhash_pairs(spark, sf_dir):
 
 def q23_simhash(spark, sf_dir):
     """SimHash document signatures (60-bit, expression-only)."""
-    from dedupe_spark.operators.dedup import simhash64
+    from dedupe_spark.operators.dedup import simhash_table
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return simhash_table(d, "doc_id", "text", out_col="simhash").withColumnRenamed(
+        "id", "doc_id"
+    )
 
 
 def q24_doc_fingerprint(spark, sf_dir):
@@ -1619,14 +1621,15 @@ def q70_meta_blocking(spark, sf_dir):
     shuffle; co-occurring docs still share the same selected grams, so
     block recall degrades gracefully while shuffle volume drops 8x."""
     from dedupe_spark.operators.blocking import meta_blocking_wnp
-    from dedupe_spark.operators.dedup import token_ngrams
+    from dedupe_spark.operators.dedup import gram_rows
 
     release_query_caches()
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    grams = d.select(
-        F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col("text"), 8))).alias("key"),
-    ).where(F.substring(F.md5(F.col("key")), 1, 1).isin("0", "1"))
+    grams = (
+        gram_rows(d, "doc_id", "text", 8)
+        .withColumnRenamed("g", "key")
+        .where(F.substring(F.md5(F.col("key")), 1, 1).isin("0", "1"))
+    )
     # persisted EAGERLY: the WNP graph reads the assignment table from
     # four branches (block sizes, live join, both pair-join sides) that
     # AQE materializes concurrently — a lazy persist would race its own

@@ -41,14 +41,46 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def token_ngrams(text: Column, n: int = 3) -> Column:
-    """array<string> of space-joined token n-grams (whole text if short)."""
-    toks = F.split(normalize_expr(text), " ")
+def _ngrams_from_toks(toks: Column, n: int) -> Column:
+    """n-gram array from a token array. ``toks`` MUST be a bound column
+    attribute (not an expression): higher-order functions evaluate
+    interpreted, so a non-attribute reference inside the ``transform``
+    lambda re-runs its whole subtree once per gram position — inlining
+    the split+normalize chain here measured 13x slower at sf0.1 (9.6s
+    vs 0.7s for the same 260k-row gram build)."""
     sz = F.size(toks)
     return F.when(
         sz >= n,
         F.transform(F.sequence(F.lit(0), sz - n), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def token_ngrams(text: Column, n: int = 3) -> Column:
+    """array<string> of space-joined token n-grams (whole text if short).
+
+    Column-level convenience; the split+normalize chain is referenced
+    from inside the transform lambda, which re-evaluates it per gram
+    position. For anything hot, use ``gram_rows`` (binds the token array
+    as a real attribute first) instead of exploding this directly."""
+    return _ngrams_from_toks(F.split(normalize_expr(text), " "), n)
+
+
+def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded distinct-gram table (id, g) — the shared input of every
+    gram-based similarity join.
+
+    The token array is projected as a real column BEFORE the n-gram
+    transform so the lambda reads an attribute; Catalyst's
+    CollapseProject keeps the boundary (the array is non-cheap and
+    referenced more than once), so the normalize+split chain runs once
+    per row instead of once per gram position (13x at sf0.1)."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_expr(F.col(text_col)), " ").alias("_toks"),
+    )
+    return t.select(
+        "id", F.explode(F.array_distinct(_ngrams_from_toks(F.col("_toks"), n))).alias("g")
+    )
 
 
 def minhash_band_keys_sql(
@@ -66,10 +98,7 @@ def minhash_band_keys_sql(
     num_perm times per row (projection collapse defeats reuse), which
     measured ~12x slower.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), ngram))).alias("g"),
-    )
+    grams = gram_rows(df, id_col, text_col, ngram)
     mins = grams.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("g")))).alias(f"m{j}")
@@ -299,6 +328,19 @@ def dedup_keep_best(
     )
 
 
+def _passages_from_toks(toks: Column, window: int) -> Column:
+    """Passage-md5 array from a BOUND token-array attribute (see
+    ``_ngrams_from_toks`` for why the binding matters)."""
+    n_win = F.floor(F.size(toks) / F.lit(window)).cast("int")
+    return F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * window + 1, window))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def passage_hashes(text: Column, window: int = 16) -> Column:
     """md5 per consecutive non-overlapping ``window``-token passage.
 
@@ -310,16 +352,25 @@ def passage_hashes(text: Column, window: int = 16) -> Column:
     codegen'd array exprs; the reference's analog is FSP chunking
     (fixed 4096-B blocks, /root/reference/src/deduplication.cpp:22),
     re-cut at token granularity.
-    """
-    toks = F.split(normalize_expr(text), " ")
-    n_win = F.floor(F.size(toks) / F.lit(window)).cast("int")
-    return F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(0), n_win - 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * window + 1, window))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    Column-level form (re-tokenizes per window when inlined under a
+    HOF); hot paths go through ``passage_rows`` instead."""
+    return _passages_from_toks(F.split(normalize_expr(text), " "), window)
+
+
+def passage_rows(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16
+) -> DataFrame:
+    """Exploded (id, phash) passage table with the token array bound as
+    a column attribute before the transform lambda (13x pattern, see
+    ``gram_rows``)."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_expr(F.col(text_col)), " ").alias("_toks"),
+    )
+    return t.select(
+        "id", F.explode(_passages_from_toks(F.col("_toks"), window)).alias("phash")
+    )
 
 
 def passage_dedup_stats(
@@ -337,10 +388,7 @@ def passage_dedup_stats(
     shuffle and nothing is quadratic. Docs shorter than one window are
     kept with zero counts (left join against the id set).
     """
-    p = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(passage_hashes(F.col(text_col), window)).alias("phash"),
-    )
+    p = passage_rows(df, id_col, text_col, window)
     occ = p.groupBy("phash").agg(F.count("*").alias("n_occ"))
     per_doc = (
         p.join(occ, "phash")
@@ -443,14 +491,8 @@ def decontaminate(
     map-side-joins without shuffling the corpus; the only shuffle is the
     per-(train,bench) count, keyed on the colliding pairs.
     """
-    tg = train.select(
-        F.col(id_col).alias("train_id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
-    bg = bench.select(
-        F.col(id_col).alias("bench_id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    tg = gram_rows(train, id_col, text_col, n).withColumnRenamed("id", "train_id")
+    bg = gram_rows(bench, id_col, text_col, n).withColumnRenamed("id", "bench_id")
     return (
         tg.join(F.broadcast(bg), "g")
         .groupBy("train_id", "bench_id")
@@ -518,10 +560,7 @@ def ngram_jaccard_pairs(
     entirely in hash joins + aggregates (no UDF), so it scales as a
     standard shuffle and has an exact SQL oracle.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    grams = gram_rows(df, id_col, text_col, n)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     a = grams.select(F.col("id").alias("id_a"), "g")
     b = grams.select(F.col("id").alias("id_b"), "g")
@@ -610,10 +649,7 @@ def ngram_jaccard_on_pairs(
     ``pairs`` (e.g. MinHash/LSH candidates), so the cost is
     O(|pairs| * doc_size), not O(docs sharing any gram)^2.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    grams = gram_rows(df, id_col, text_col, n)
     sizes = grams.groupBy("id").agg(F.count("*").alias("sz"))
     return _jaccard_for_candidates(grams, sizes, pairs.select("id_a", "id_b"), threshold)
 
@@ -639,10 +675,7 @@ def ngram_jaccard_pairs_prefix(
     per-doc window — no materialized global rank stage, which saves a
     range-exchange + broadcast join per call.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    grams = gram_rows(df, id_col, text_col, n)
     if persist_grams:
         # the gram table feeds 5 subtrees (sizes, rarity, ranked, both
         # verification sides); one materialization beats 5 recomputes
@@ -724,10 +757,7 @@ def ngram_containment_pairs_prefix(
     sacrifices exactness: a contained doc is missed iff ALL its prefix
     grams are hotter than the cap (verification itself stays exact).
     Default None = exact."""
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(token_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    grams = gram_rows(df, id_col, text_col, n)
     if persist_grams:
         # feeds rarity, prefix, and both verification sides
         grams = grams.persist()
@@ -767,6 +797,59 @@ def ngram_containment_pairs_prefix(
     )
 
 
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, nibbles: int = 15, out_col: str = "sh"
+) -> DataFrame:
+    """(id, sh): the ``simhash64`` computation with each HOF stage bound
+    as a real column attribute between projections.
+
+    ``simhash64`` as a single Column expression re-evaluates its
+    interpreted lambda inputs per reference — the 60 vote aggregates
+    each re-derive the nibble array, which re-derives the md5 array,
+    which re-tokenizes the text (measured 5.4x slower at sf0.1). Here
+    hexes and the 15 nibble arrays are projected as columns first, so
+    each stage runs once per row; CollapseProject keeps the boundaries
+    (every intermediate is non-cheap and referenced more than once).
+    Bit semantics are identical to ``simhash64`` (tested equal)."""
+    toks = F.array_distinct(F.split(normalize_expr(F.col(text_col)), " "))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda tk: F.md5(tk)).alias("_hexes"),
+    )
+
+    # closure factories, NOT default-arg lambdas: pyspark derives the
+    # HOF lambda arity from the Python signature, so `lambda h, ni=ni`
+    # silently becomes the 2-arg (element, index) form
+    def _nib(ni: int) -> Column:
+        return F.transform(
+            F.col("_hexes"),
+            lambda h: F.instr(F.lit("0123456789abcdef"), F.substring(h, ni + 1, 1)) - 1,
+        ).alias(f"_nib{ni}")
+
+    def _vote(ni: int, mask: int) -> Column:
+        return F.aggregate(
+            F.col(f"_nib{ni}"),
+            F.lit(0),
+            lambda acc, v: acc
+            + F.when(v.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    t = t.select("id", *[_nib(ni) for ni in range(nibbles)])
+    vote_cols = [
+        _vote(ni, 1 << bi).alias(f"_v{ni * 4 + bi}")
+        for ni in range(nibbles)
+        for bi in range(4)
+    ]
+    t = t.select("id", *vote_cols)
+    out = None
+    for bit_idx in range(nibbles * 4):
+        c = F.when(
+            F.col(f"_v{bit_idx}") > 0, F.lit(2 ** bit_idx).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        out = c if out is None else out + c
+    return t.select("id", out.alias(out_col))
+
+
 def simhash64(text: Column, nibbles: int = 15) -> Column:
     """60-bit SimHash from token md5s, as pure expressions.
 
@@ -775,6 +858,10 @@ def simhash64(text: Column, nibbles: int = 15) -> Column:
     bit j of the simhash is the sign of sum over tokens of
     (bit_j ? 1 : -1). Nibble values come from position-in-alphabet
     (instr trick) so the same computation runs in ANSI SQL.
+
+    Column-level form: the interpreted HOF lambdas re-derive their
+    inputs per reference, so this costs ~5x more than the layered
+    ``simhash_table`` — use that for anything hot.
     """
     toks = F.array_distinct(F.split(normalize_expr(text), " "))
     hexes = F.transform(toks, lambda t: F.md5(t))
@@ -816,7 +903,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     Callers may pass ``max_hamming`` in 4..6 for extra best-effort recall
     (such pairs are found only when a band happens to collide).
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = simhash_table(df, id_col, text_col, out_col="sh")
     bands = sh.select(
         "id",
         "sh",
@@ -1061,12 +1148,15 @@ def remove_spans(
         lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
     )
     kept = F.filter("_toks", lambda x, i: ~covered(i))
+    # bind the filtered array once — it is read twice below, and an
+    # inline reference re-runs the O(tokens x spans) filter per use
     return (
         d.join(sp, "id", "left")
+        .select("id", "_toks", kept.alias("_kept"))
         .select(
             "id",
-            F.concat_ws(" ", kept).alias("clean_text"),
+            F.concat_ws(" ", "_kept").alias("clean_text"),
             F.size("_toks").cast("long").alias("n_tokens"),
-            (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+            (F.size("_toks") - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )

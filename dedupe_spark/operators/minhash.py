@@ -53,12 +53,23 @@ def shingle_hashes(doc: Column | str, k: int = 3) -> Column:
     c = F.col(doc) if isinstance(doc, str) else doc
     toks = F.split(c, " ")
     th = F.transform(toks, lambda t: F.xxhash64(t))
+    return _shingles_from_th(th, c, k)
+
+
+def _shingles_from_th(th: Column, doc: Column, k: int) -> Column:
+    """Fold a token-hash array into k-shingle hashes.
+
+    ``th`` is referenced ~k+2 times (size + k shifted slices); when it
+    is an inline transform expression each reference re-runs the
+    tokenize+hash transform per row, so hot paths bind it as a real
+    column first (``with_minhash_bands`` does) — measured 1.8x on the
+    sf0.1 documents shingle stage vs the inline form."""
     n = F.size(th)
     m = n - F.lit(k - 1)  # shingle count when n >= k
     folded = F.slice(th, 1, m)
     for j in range(1, k):
         folded = F.zip_with(folded, F.slice(th, j + 1, m), lambda a, b: F.xxhash64(a, b))
-    return F.when(n >= k, folded).otherwise(F.array(F.xxhash64(c)))
+    return F.when(n >= k, folded).otherwise(F.array(F.xxhash64(doc)))
 
 
 def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -169,14 +180,20 @@ def with_minhash_bands(
     row; the pipeline opts in because its docs table is persisted anyway.
     """
     sig_udf = make_minhash_udf(num_perm=num_perm, seed=seed)
+    c = F.col(doc_col) if isinstance(doc_col, str) else doc_col
     out = (
-        docs.withColumn("_shingles", shingle_hashes(doc_col, k=k))
+        # token-hash array bound as a real column BEFORE the shingle
+        # fold: the fold references it k+2 times, and an inline
+        # reference re-runs the tokenize+hash transform per use
+        # (interpreted HOF) — binding measured 1.8x on this stage
+        docs.withColumn("_th", F.transform(F.split(c, " "), lambda t: F.xxhash64(t)))
+        .withColumn("_shingles", _shingles_from_th(F.col("_th"), c, k))
         .withColumn("_sig", sig_udf("_shingles"))
         .withColumn("bands", band_keys("_sig", bands=bands, num_perm=num_perm))
     )
     if keep_shingles:
         out = out.withColumn("sh", F.array_distinct("_shingles"))
-    return out.drop("_shingles", "_sig")
+    return out.drop("_th", "_shingles", "_sig")
 
 
 def minhash_signature_py(tokens: list[str], k: int = 3, num_perm: int = DEFAULT_NUM_PERM, seed: int = DEFAULT_SEED) -> np.ndarray:

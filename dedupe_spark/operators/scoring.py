@@ -324,12 +324,34 @@ def score_pairs(
     # downstream jaccard/lev/is_dup expressions. Inlining it (projection
     # collapse duplicates the tree per reference) blows the generated
     # code up ~6x and was measured ~3x slower end-to-end.
-    d = docs.select(
-        F.col(id_col).alias("_id"),
-        F.col(doc_col).alias("_doc"),
-        F.col("doc_len").alias("_len"),
-        (F.col(sh_col) if sh_col else shingle_array(F.col(doc_col), k)).alias("_sh"),
-    )
+    if sh_col:
+        d = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(doc_col).alias("_doc"),
+            F.col("doc_len").alias("_len"),
+            F.col(sh_col).alias("_sh"),
+        )
+    else:
+        # bind the token-hash array before the shingle fold: the fold
+        # references it k+2 times, and each inline reference re-runs the
+        # tokenize+hash transform per row (interpreted HOF)
+        from dedupe_spark.operators.minhash import _shingles_from_th
+
+        d = docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(doc_col).alias("_doc"),
+            F.col("doc_len").alias("_len"),
+            F.transform(
+                F.split(F.col(doc_col), " "), lambda t: F.xxhash64(t)
+            ).alias("_th"),
+        ).select(
+            "_id",
+            "_doc",
+            "_len",
+            F.array_distinct(
+                _shingles_from_th(F.col("_th"), F.col("_doc"), k)
+            ).alias("_sh"),
+        )
     joined = (
         pairs.join(
             d.select(

@@ -149,13 +149,17 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     t = F.col(text_col)
     toks = F.split(F.trim(t), r"\s+")
-    n = F.size(toks)
+    # the 2-gram zip_with reads the BOUND _toks attribute: slices of an
+    # inline split expression re-run the split once per reference
+    # (interpreted HOF inputs), ~4x per row
+    tk = F.col("_toks")
+    n = F.size(tk)
     m = n - F.lit(1)  # 2-gram count when n >= 2
     grams = F.when(
         n >= 2,
         F.zip_with(
-            F.slice(toks, 1, m),
-            F.slice(toks, 2, m),
+            F.slice(tk, 1, m),
+            F.slice(tk, 2, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -228,8 +232,11 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
     'too_short' and corrupting the per-rule funnel counts.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.split(F.trim(t), r"\s+")
-    n_words = F.size(toks)
+    # bind the token array before anything references it: the 2-gram
+    # zip_with (and the distinct/size counts) would otherwise re-run
+    # the split once per reference (interpreted HOF inputs)
+    tk = F.col("_ftoks")
+    n_words = F.size(tk)
     n_chars = F.length(t)
     punct_ratio = (
         n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
@@ -241,13 +248,13 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         stop_hits = c if stop_hits is None else stop_hits + c
     stopword_ratio = stop_hits / F.greatest(n_words, F.lit(1))
     uniq_frac = F.when(
-        n_words > 0, F.size(F.array_distinct(toks)) / n_words
+        n_words > 0, F.size(F.array_distinct(tk)) / n_words
     ).otherwise(F.lit(0.0))
     m = n_words - F.lit(1)
     grams = F.when(
         n_words >= 2,
         F.zip_with(
-            F.slice(toks, 1, m), F.slice(toks, 2, m),
+            F.slice(tk, 1, m), F.slice(tk, 2, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -256,7 +263,7 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
     ).otherwise(F.lit(0.0))
 
-    scored = df
+    scored = df.withColumn("_ftoks", F.split(F.trim(t), r"\s+"))
     for lang in _LANG_MARKERS:
         scored = scored.withColumn(f"_s_{lang}", lang_score(t, lang))
     best = F.greatest(*[F.col(f"_s_{lang}") for lang in _LANG_MARKERS])
@@ -275,7 +282,7 @@ def filter_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return scored.withColumn("verdict", verdict).drop(
-        *[f"_s_{lang}" for lang in _LANG_MARKERS]
+        "_ftoks", *[f"_s_{lang}" for lang in _LANG_MARKERS]
     )
 
 
