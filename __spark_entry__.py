@@ -1415,6 +1415,24 @@ def _fs_unlinkables_oracle() -> str:
     )
 
 
+def _fs_uncertainty_oracle(k: int = 100) -> str:
+    """q79 oracle: posterior under the literal prior parameters (the
+    same left-associated product/0.5-scaling arithmetic as
+    linkage._posterior_expr, so the doubles agree bit-for-bit), 6-dp
+    rounded, then the k rows closest to 0.5 under the engine-portable
+    (uncertainty desc, id_a, id_b) total order."""
+    mprod, uprod = _fs_prior_prods()
+    prob = f"(0.5 * ({mprod})) / ((0.5 * ({mprod})) + (0.5 * ({uprod})))"
+    return (
+        "WITH " + ",\n".join(_fs_gamma_ctes()) + ",\n"
+        f"sc AS (SELECT id_a, id_b, round({prob}, 6) AS match_prob FROM g),\n"
+        "u AS (SELECT id_a, id_b, match_prob,\n"
+        "        round(0.5 - abs(match_prob - 0.5), 6) AS uncertainty FROM sc)\n"
+        "SELECT id_a, id_b, match_prob, uncertainty FROM u\n"
+        f"ORDER BY uncertainty DESC, id_a, id_b LIMIT {k}"
+    )
+
+
 def _fs_em_oracle(iters: int = 3, init_lambda: float = 0.5) -> str:
     """Unroll the fixed-iteration Fellegi-Sunter EM into DuckDB CTEs from
     the SAME Comparison specs the Spark operator uses — one params CTE per
@@ -1835,6 +1853,49 @@ def q78_unlinkables(spark, sf_dir):
     )
 
 
+def q79_uncertainty_sample(spark, sf_dir):
+    """Active-learning review queue (operators/linkage.py:
+    uncertainty_sample): the 100 candidate pairs whose Fellegi-Sunter
+    posterior under the literal prior parameters sits closest to 0.5 —
+    the batch a human would label next to train the weights
+    (uncertainty sampling, Lewis & Gale 1994). Top-k runs as
+    TakeOrderedAndProject (per-partition heap, k rows of driver state);
+    the tie-break on (id_a, id_b) after 6-dp rounding makes the
+    selected SET identical across engines."""
+    from dedupe_spark.operators.linkage import (
+        DOCUMENT_COMPARISONS,
+        document_comparison_vectors,
+        score_with_params,
+        uncertainty_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gammas = document_comparison_vectors(d, _fs_offset_pairs(d.select("doc_id")))
+    params: dict = {"lambda": 0.5}
+    for c in DOCUMENT_COMPARISONS:
+        params[f"m_{c.name}"] = list(c.init_m)
+        params[f"u_{c.name}"] = list(c.init_u)
+    scored = score_with_params(gammas, DOCUMENT_COMPARISONS, params)
+    scored = scored.withColumn("match_prob", F.round("match_prob", 6))
+    sel = uncertainty_sample(scored, k=100)
+    return sel.select("id_a", "id_b", "match_prob", "uncertainty")
+
+
+def q80_deletion_neighborhood(spark, sf_dir):
+    """Edit-distance<=1 fuzzy key join via deletion neighborhoods
+    (operators/blocking.py:deletion_neighborhood_pairs; FastSS/SymSpell)
+    over customer names — every pair of c_name values within one edit,
+    found by an equi-join on single-deletion variants instead of an
+    all-pairs comparison, then verified with exact levenshtein."""
+    from dedupe_spark.operators.blocking import deletion_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = deletion_neighborhood_pairs(c, "c_custkey", "c_name", max_edits=1)
+    return pairs.select(
+        "id_a", "id_b", F.col("edit_distance").cast("long").alias("edit_distance")
+    )
+
+
 _AUC_PAIR_OFFSETS = (1, 3, 7)
 
 
@@ -1991,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_cluster_repair_edges": q76_cluster_repair_edges,
         "q77_scorer_auc": q77_scorer_auc,
         "q78_unlinkables": q78_unlinkables,
+        "q79_uncertainty_sample": q79_uncertainty_sample,
+        "q80_deletion_neighborhood": q80_deletion_neighborhood,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -3132,6 +3195,21 @@ FROM ranked WHERE ra = 1 AND rb = 1
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
         "q75_match_waterfall": _fs_waterfall_oracle(),
         "q78_unlinkables": _fs_unlinkables_oracle(),
+        "q79_uncertainty_sample": _fs_uncertainty_oracle(),
+        "q80_deletion_neighborhood": """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS w,
+         unnest(list_distinct(list_prepend(c_name,
+           list_transform(range(1, length(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)))))) AS var
+  FROM customer
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.w AS w_a, b.w AS w_b
+  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+)
+SELECT id_a, id_b, levenshtein(w_a, w_b)::BIGINT AS edit_distance
+FROM cand WHERE levenshtein(w_a, w_b) <= 1""",
         "q77_scorer_auc": f"""
 WITH p0 AS (
 {" UNION ALL ".join(f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + {off}" for off in _AUC_PAIR_OFFSETS)}

@@ -347,3 +347,74 @@ def meta_blocking_wnp(
         .where((F.col("w") >= F.col("avg_a")) | (F.col("w") >= F.col("avg_b")))
         .select("id_a", "id_b", "w")
     )
+
+
+def deletion_variants(w: Column) -> Column:
+    """array<string>: the word plus every single-character deletion.
+
+    ``w`` must be a BOUND column attribute — the transform lambda
+    references it per position, and interpreted HOF lambdas re-evaluate
+    non-attribute references per element (see dedup._ngrams_from_toks).
+
+    The empty-string guard matters: Spark's ``sequence(1, 0)`` infers
+    step -1 and yields [1, 0] instead of an empty range, which would
+    fabricate variants for empty keys.
+    """
+    dels = F.when(
+        F.length(w) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.concat(
+                F.substring(w, F.lit(1), i - 1),
+                F.substring(w, i + 1, F.length(w)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(F.array(w), dels))
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame, id_col: str, key_col: str, max_edits: int = 1
+) -> DataFrame:
+    """Edit-distance-bounded fuzzy key join via deletion neighborhoods
+    (FastSS, Bocek et al. 2007; SymSpell) — the classic sub-quadratic
+    way to pair typo'd names/keys, next to Soundex (phonetic) and
+    sorted-neighborhood (lexicographic) in the blocking toolbox.
+
+    Guarantee for ``max_edits=1``: any two keys at Levenshtein distance
+    <= 1 share a member of each other's {key} ∪ {single deletions} set
+    (substitution at i -> both i-deletions equal; insertion/deletion ->
+    one side's deletion equals the other key itself), so the variant
+    equi-join finds every qualifying pair; the exact ``levenshtein``
+    verification then removes the distance-2 collisions the join also
+    admits (two different deletions of a shared parent). No pair within
+    the bound is ever missed — the filter is candidates-only, exactly
+    the probe -> verify split the reference's cheap->exact compare uses
+    (src/deduplication.cpp:1052-1123).
+
+    Scale shape: the variant index is O(total key chars) rows; the join
+    shuffles on the variant string. Short hot variants (e.g. 1-char
+    deletions of 2-char keys) can skew a bucket — AQE skew-join splits
+    those, and callers with adversarial vocabularies should pre-filter
+    keys shorter than ~3 chars, where edit-distance-1 blocking is
+    meaningless anyway (every such pair is within 2 edits of empty).
+
+    Only ``max_edits=1`` is implemented: depth-2 deletion neighborhoods
+    grow O(len^2) per key and need the same join with a bigger index,
+    not a different plan — rejected loudly rather than silently
+    under-recalling.
+    """
+    if max_edits != 1:
+        raise ValueError("deletion_neighborhood_pairs supports max_edits=1 only")
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("w"))
+    v = keyed.select("id", "w", F.explode(deletion_variants(F.col("w"))).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), F.col("w").alias("w_a"), "v")
+    b = v.select(F.col("id").alias("id_b"), F.col("w").alias("w_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "w_a", "w_b")
+        .distinct()
+        .withColumn("edit_distance", F.levenshtein("w_a", "w_b"))
+        .where(F.col("edit_distance") <= max_edits)
+    )

@@ -372,3 +372,34 @@ def tf_adjusted_weights(
         .withColumn("tf_adj_weight", F.col("match_weight") + adj)
         .drop("tf")
     )
+
+
+def uncertainty_sample(
+    scored: DataFrame,
+    k: int,
+    prob_col: str = "match_prob",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Active-learning batch selection: the ``k`` candidate pairs whose
+    match posterior sits closest to 0.5 — the pairs whose human label
+    moves the model most (uncertainty sampling, Lewis & Gale 1994; the
+    query strategy interactive linkage tools train their weights on).
+    The reference has no learning loop at all (fixed thresholds,
+    /root/reference/src/deduplication.cpp:985-1178); this is the
+    review-queue builder a production ER deployment adds around one.
+
+    ``uncertainty = round(0.5 - |p - 0.5|, 6)`` in [0, 0.5], rounded so
+    the (uncertainty desc, id_a, id_b) total order is engine-portable
+    (an unrounded float sort key can straddle ulps between engines and
+    swap boundary rows in and out of the top-k). The top-k executes as
+    TakeOrderedAndProject — a per-partition k-heap merged on the driver,
+    k rows of driver state — so the pair table is never globally sorted
+    at any corpus size.
+    """
+    unc = F.round(F.lit(0.5) - F.abs(F.col(prob_col) - F.lit(0.5)), 6)
+    return (
+        scored.withColumn("uncertainty", unc)
+        .orderBy(F.desc("uncertainty"), F.col(id_a), F.col(id_b))
+        .limit(k)
+    )
