@@ -1896,6 +1896,33 @@ def q80_deletion_neighborhood(spark, sf_dir):
     )
 
 
+def q81_blocking_rule_coverage(spark, sf_dir):
+    """Cumulative pair coverage per blocking rule (operators/blocking.py:
+    blocking_rule_coverage; Splink's cumulative-comparisons pre-flight):
+    for an ordered rule list — exact normalized fingerprint, 16-char
+    normalized prefix, 16-char length band — how many candidate pairs
+    each rule generates and how many are NEW vs every earlier rule. The
+    deliberately weak length-band rule demonstrates the point of the
+    metric: high pair volume, little new coverage."""
+    from dedupe_spark.operators.blocking import blocking_rule_coverage
+    from dedupe_spark.operators.normalize import norm_text
+
+    d = _t(spark, sf_dir, "documents")
+    norm = norm_text("text")
+    rules = [
+        ("exact", d.select("doc_id", F.md5(norm).alias("k"))),
+        ("prefix16", d.select("doc_id", F.substring(norm, 1, 16).alias("k"))),
+        (
+            "len_band",
+            d.select(
+                "doc_id",
+                F.floor(F.col("n_chars") / 16).cast("string").alias("k"),
+            ),
+        ),
+    ]
+    return blocking_rule_coverage(rules)
+
+
 _AUC_PAIR_OFFSETS = (1, 3, 7)
 
 
@@ -2054,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_unlinkables": q78_unlinkables,
         "q79_uncertainty_sample": q79_uncertainty_sample,
         "q80_deletion_neighborhood": q80_deletion_neighborhood,
+        "q81_blocking_rule_coverage": q81_blocking_rule_coverage,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -3196,6 +3224,31 @@ FROM ranked WHERE ra = 1 AND rb = 1
         "q75_match_waterfall": _fs_waterfall_oracle(),
         "q78_unlinkables": _fs_unlinkables_oracle(),
         "q79_uncertainty_sample": _fs_uncertainty_oracle(),
+        "q81_blocking_rule_coverage": f"""
+WITH k1 AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS k FROM documents),
+k2 AS (SELECT doc_id, substr({_NORM_SQL.format(c='text')}, 1, 16) AS k FROM documents),
+k3 AS (SELECT doc_id, CAST(CAST(floor(n_chars / 16) AS BIGINT) AS VARCHAR) AS k FROM documents),
+r1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM k1 a JOIN k1 b ON a.k = b.k AND a.doc_id < b.doc_id),
+r2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM k2 a JOIN k2 b ON a.k = b.k AND a.doc_id < b.doc_id),
+r3 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       FROM k3 a JOIN k3 b ON a.k = b.k AND a.doc_id < b.doc_id),
+n1 AS (SELECT count(*)::BIGINT AS c FROM r1),
+n2 AS (SELECT count(*)::BIGINT AS c FROM r2),
+n3 AS (SELECT count(*)::BIGINT AS c FROM r3),
+new2 AS (SELECT count(*)::BIGINT AS c FROM r2 WHERE NOT EXISTS
+         (SELECT 1 FROM r1 WHERE r1.id_a = r2.id_a AND r1.id_b = r2.id_b)),
+new3 AS (SELECT count(*)::BIGINT AS c FROM r3 WHERE NOT EXISTS
+         (SELECT 1 FROM r1 WHERE r1.id_a = r3.id_a AND r1.id_b = r3.id_b)
+         AND NOT EXISTS
+         (SELECT 1 FROM r2 WHERE r2.id_a = r3.id_a AND r2.id_b = r3.id_b))
+SELECT 0 AS rule_idx, 'exact' AS rule, n1.c AS n_pairs, n1.c AS n_new_pairs, n1.c AS cum_pairs FROM n1
+UNION ALL
+SELECT 1, 'prefix16', n2.c, new2.c, n1.c + new2.c FROM n1, n2, new2
+UNION ALL
+SELECT 2, 'len_band', n3.c, new3.c, n1.c + new2.c + new3.c FROM n1, n2, new2, n3, new3
+""",
         "q80_deletion_neighborhood": """
 WITH v AS (
   SELECT c_custkey AS id, c_name AS w,

@@ -418,3 +418,64 @@ def deletion_neighborhood_pairs(
         .withColumn("edit_distance", F.levenshtein("w_a", "w_b"))
         .where(F.col("edit_distance") <= max_edits)
     )
+
+
+def blocking_rule_coverage(
+    rules: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Cumulative pair coverage per blocking rule (Splink's "cumulative
+    comparisons by blocking rule" pre-flight): for an ORDERED list of
+    (name, assignment) rules — assignment = (id, key) rows — report how
+    many distinct candidate pairs each rule generates and how many are
+    NEW (not generated by any earlier rule). The number that decides
+    whether adding a rule is worth its candidate-join cost BEFORE the
+    full pipeline runs at 100 TB.
+
+    Plan shape: one self-join + distinct per rule (the same bounded
+    work the rule would cost in production blocking), one left-anti per
+    rule against the accumulated pair set; the output is |rules| rows
+    aggregated driver-side (the per-rule pair tables never union into a
+    single global sort). Rules with quadratic keys should be size-capped
+    by the caller exactly as in production — this measures the rules as
+    they would actually run.
+    """
+    out_rows = []
+    seen: DataFrame | None = None
+    cached: list[DataFrame] = []
+    for name, assign in rules:
+        keyed = assign.select(
+            F.col(assign.columns[0]).alias("id"), F.col(assign.columns[1]).alias("k")
+        )
+        a = keyed.select("k", F.col("id").alias("id_a"))
+        b = keyed.select("k", F.col("id").alias("id_b"))
+        pairs = (
+            a.join(b, "k")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # pairs is read twice (count + anti/union) and the accumulated
+        # set once per later rule — persist both so the union chain
+        # never re-runs every earlier rule's self-join
+        pairs = pairs.persist()
+        cached.append(pairs)
+        n_pairs = pairs.count()
+        if seen is None:
+            n_new = n_pairs
+            seen = pairs
+        else:
+            n_new = pairs.join(seen, ["id_a", "id_b"], "left_anti").count()
+            seen = seen.unionAll(pairs).distinct().persist()
+            cached.append(seen)
+        out_rows.append((name, n_pairs, n_new))
+    spark = rules[0][1].sparkSession
+    for df in cached:
+        df.unpersist()
+    cum = 0
+    rows = []
+    for i, (name, n_pairs, n_new) in enumerate(out_rows):
+        cum += n_new
+        rows.append((i, name, n_pairs, n_new, cum))
+    return spark.createDataFrame(
+        rows, "rule_idx int, rule string, n_pairs long, n_new_pairs long, cum_pairs long"
+    )

@@ -61,9 +61,14 @@ def _shingles_from_th(th: Column, doc: Column, k: int) -> Column:
 
     ``th`` is referenced ~k+2 times (size + k shifted slices); when it
     is an inline transform expression each reference re-runs the
-    tokenize+hash transform per row, so hot paths bind it as a real
-    column first (``with_minhash_bands`` does) — measured 1.8x on the
-    sf0.1 documents shingle stage vs the inline form."""
+    tokenize+hash transform per row. Binding it as a real column first
+    trades those recomputes for one array materialization — 1.8x faster
+    on an isolated shingle scan of sf0.1 documents, but NEUTRAL inside
+    the full pipeline at both local[4]x520k turns (121.9s inline vs
+    118.5s bound) and local[32]x70k (18.4 vs 18.7): the signature UDF
+    and candidate join dominate, and the materialization costs DRAM
+    bandwidth the recompute does not. ``with_minhash_bands`` exposes
+    ``bind_token_hashes`` (default off) for compute-bound deployments."""
     n = F.size(th)
     m = n - F.lit(k - 1)  # shingle count when n >= k
     folded = F.slice(th, 1, m)
@@ -170,6 +175,7 @@ def with_minhash_bands(
     bands: int = DEFAULT_BANDS,
     seed: int = DEFAULT_SEED,
     keep_shingles: bool = False,
+    bind_token_hashes: bool = False,
 ) -> DataFrame:
     """docs + ``bands`` column (array<string> of LSH keys).
 
@@ -181,15 +187,19 @@ def with_minhash_bands(
     """
     sig_udf = make_minhash_udf(num_perm=num_perm, seed=seed)
     c = F.col(doc_col) if isinstance(doc_col, str) else doc_col
-    out = (
+    if bind_token_hashes:
         # token-hash array bound as a real column BEFORE the shingle
-        # fold: the fold references it k+2 times, and an inline
-        # reference re-runs the tokenize+hash transform per use
-        # (interpreted HOF) — binding measured 1.8x on this stage
-        docs.withColumn("_th", F.transform(F.split(c, " "), lambda t: F.xxhash64(t)))
-        .withColumn("_shingles", _shingles_from_th(F.col("_th"), c, k))
-        .withColumn("_sig", sig_udf("_shingles"))
-        .withColumn("bands", band_keys("_sig", bands=bands, num_perm=num_perm))
+        # fold: trades ~k+1 recomputes for one array materialization
+        # (write+read between projections) — a win when compute-bound,
+        # neutral-to-negative when memory-bandwidth-bound (A/B in
+        # _shingles_from_th's docstring); default off.
+        out = docs.withColumn(
+            "_th", F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+        ).withColumn("_shingles", _shingles_from_th(F.col("_th"), c, k))
+    else:
+        out = docs.withColumn("_shingles", shingle_hashes(c, k=k))
+    out = out.withColumn("_sig", sig_udf("_shingles")).withColumn(
+        "bands", band_keys("_sig", bands=bands, num_perm=num_perm)
     )
     if keep_shingles:
         out = out.withColumn("sh", F.array_distinct("_shingles"))

@@ -81,3 +81,17 @@ def test_deletion_neighborhood_rejects_depth_2(spark):
     except ValueError:
         return
     raise AssertionError("max_edits=2 should raise")
+
+
+def test_blocking_rule_coverage_incremental_counts(spark):
+    from dedupe_spark.operators.blocking import blocking_rule_coverage
+
+    # rule A pairs (1,2); rule B pairs (1,2) and (3,4); rule C adds none
+    a = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y"), (4, "z")], "id long, k string")
+    b = spark.createDataFrame([(1, "p"), (2, "p"), (3, "q"), (4, "q")], "id long, k string")
+    c = spark.createDataFrame([(3, "r"), (4, "r")], "id long, k string")
+    got = {
+        r["rule"]: (r["n_pairs"], r["n_new_pairs"], r["cum_pairs"])
+        for r in blocking_rule_coverage([("A", a), ("B", b), ("C", c)]).collect()
+    }
+    assert got == {"A": (1, 1, 1), "B": (2, 1, 2), "C": (1, 0, 2)}
