@@ -2304,9 +2304,12 @@ agg AS (
     SELECT conv_id,
            count(*) AS n_turns,
            min_by(role, turn_idx) = 'user' AS starts_with_user,
-           sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS same_role_runs,
-           sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END) AS empty_turns,
-           sum(CASE WHEN role = 'tool' AND trim(coalesce(tool, '')) = '' THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS BIGINT)
+               AS same_role_runs,
+           CAST(sum(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END) AS BIGINT)
+               AS empty_turns,
+           CAST(sum(CASE WHEN role = 'tool' AND trim(coalesce(tool, '')) = '' THEN 1
+                    ELSE 0 END) AS BIGINT)
                AS orphan_tool_turns,
            NOT (min(turn_idx) = 0 AND max(turn_idx) = count(*) - 1
                 AND count(DISTINCT turn_idx) = count(*)) AS idx_gaps
@@ -2896,10 +2899,11 @@ GROUP BY th
         "q60_cluster_size_histogram": f"""
 WITH cl AS (
     SELECT md5({_NORM_SQL.format(c='text')}) AS fp, count(*) AS cluster_size,
-           sum(n_chars) - min(n_chars) AS chars_saved
+           CAST(sum(n_chars) - min(n_chars) AS BIGINT) AS chars_saved
     FROM documents GROUP BY 1
 )
-SELECT cluster_size, count(*) AS n_clusters, sum(chars_saved) AS total_chars_saved
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(sum(chars_saved) AS BIGINT) AS total_chars_saved
 FROM cl GROUP BY cluster_size
 """,
         "q61_blocking_quality": f"""

@@ -392,12 +392,19 @@ def deletion_neighborhood_pairs(
     the probe -> verify split the reference's cheap->exact compare uses
     (src/deduplication.cpp:1052-1123).
 
-    Scale shape: the variant index is O(total key chars) rows; the join
-    shuffles on the variant string. Short hot variants (e.g. 1-char
-    deletions of 2-char keys) can skew a bucket — AQE skew-join splits
-    those, and callers with adversarial vocabularies should pre-filter
-    keys shorter than ~3 chars, where edit-distance-1 blocking is
-    meaningless anyway (every such pair is within 2 edits of empty).
+    Scale shape: the variant index is O(total key chars) rows of
+    (id, variant) ONLY — the source key is deliberately NOT carried
+    through the explode or the variant join, so the two big exchanges
+    (index shuffle on the variant string, candidate distinct on the id
+    pair) move the narrowest possible rows; the keys are re-joined from
+    the O(n) (id, key) table afterwards, on the already-deduped pair
+    set, for the exact-levenshtein verify. Short hot variants (e.g.
+    1-char deletions of 2-char keys) can skew a bucket — AQE skew-join
+    splits those (tests/test_uncertainty_deletion.py has the hot-2-char
+    vocabulary case), and callers with adversarial vocabularies should
+    pre-filter keys shorter than ~3 chars, where edit-distance-1
+    blocking is meaningless anyway (every such pair is within 2 edits
+    of empty).
 
     Only ``max_edits=1`` is implemented: depth-2 deletion neighborhoods
     grow O(len^2) per key and need the same join with a bigger index,
@@ -407,14 +414,21 @@ def deletion_neighborhood_pairs(
     if max_edits != 1:
         raise ValueError("deletion_neighborhood_pairs supports max_edits=1 only")
     keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("w"))
-    v = keyed.select("id", "w", F.explode(deletion_variants(F.col("w"))).alias("v"))
-    a = v.select(F.col("id").alias("id_a"), F.col("w").alias("w_a"), "v")
-    b = v.select(F.col("id").alias("id_b"), F.col("w").alias("w_b"), "v")
-    return (
+    v = keyed.select("id", F.explode(deletion_variants(F.col("w"))).alias("v"))
+    a = v.select(F.col("id").alias("id_a"), "v")
+    b = v.select(F.col("id").alias("id_b"), "v")
+    cand = (
         a.join(b, "v")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "w_a", "w_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    wa = keyed.select(F.col("id").alias("id_a"), F.col("w").alias("w_a"))
+    wb = keyed.select(F.col("id").alias("id_b"), F.col("w").alias("w_b"))
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", "w_a", "w_b")
         .withColumn("edit_distance", F.levenshtein("w_a", "w_b"))
         .where(F.col("edit_distance") <= max_edits)
     )
@@ -439,38 +453,42 @@ def blocking_rule_coverage(
     by the caller exactly as in production — this measures the rules as
     they would actually run.
     """
+    if not rules:
+        raise ValueError("blocking_rule_coverage needs at least one (name, assignment) rule")
     out_rows = []
     seen: DataFrame | None = None
     cached: list[DataFrame] = []
-    for name, assign in rules:
-        keyed = assign.select(
-            F.col(assign.columns[0]).alias("id"), F.col(assign.columns[1]).alias("k")
-        )
-        a = keyed.select("k", F.col("id").alias("id_a"))
-        b = keyed.select("k", F.col("id").alias("id_b"))
-        pairs = (
-            a.join(b, "k")
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        # pairs is read twice (count + anti/union) and the accumulated
-        # set once per later rule — persist both so the union chain
-        # never re-runs every earlier rule's self-join
-        pairs = pairs.persist()
-        cached.append(pairs)
-        n_pairs = pairs.count()
-        if seen is None:
-            n_new = n_pairs
-            seen = pairs
-        else:
-            n_new = pairs.join(seen, ["id_a", "id_b"], "left_anti").count()
-            seen = seen.unionAll(pairs).distinct().persist()
-            cached.append(seen)
-        out_rows.append((name, n_pairs, n_new))
-    spark = rules[0][1].sparkSession
-    for df in cached:
-        df.unpersist()
+    try:
+        for name, assign in rules:
+            keyed = assign.select(
+                F.col(assign.columns[0]).alias("id"), F.col(assign.columns[1]).alias("k")
+            )
+            a = keyed.select("k", F.col("id").alias("id_a"))
+            b = keyed.select("k", F.col("id").alias("id_b"))
+            pairs = (
+                a.join(b, "k")
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            # pairs is read twice (count + anti/union) and the accumulated
+            # set once per later rule — persist both so the union chain
+            # never re-runs every earlier rule's self-join
+            pairs = pairs.persist()
+            cached.append(pairs)
+            n_pairs = pairs.count()
+            if seen is None:
+                n_new = n_pairs
+                seen = pairs
+            else:
+                n_new = pairs.join(seen, ["id_a", "id_b"], "left_anti").count()
+                seen = seen.unionAll(pairs).distinct().persist()
+                cached.append(seen)
+            out_rows.append((name, n_pairs, n_new))
+        spark = rules[0][1].sparkSession
+    finally:
+        for df in cached:
+            df.unpersist()
     cum = 0
     rows = []
     for i, (name, n_pairs, n_new) in enumerate(out_rows):

@@ -253,3 +253,24 @@ def test_cross_corpus_verdicts(spark):
     got = {r["doc_id"]: r["verdict"] for r in
            cross_corpus_verdicts(incoming, base, "doc_id", "text").collect()}
     assert got == {1: "exact", 3: "near", 5: "new"}
+
+
+def test_simhash_table_equals_simhash64(spark, doc_df):
+    # pins the docstring claim (dedup.simhash_table): the layered
+    # column-bound form and the single-expression form are bit-identical,
+    # including edge cases: empty text, NULL text, single token.
+    from dedupe_spark.operators.dedup import simhash64, simhash_table
+
+    edge = spark.createDataFrame(
+        [(100, ""), (101, None), (102, "solo"), (103, "a b a b a")],
+        "doc_id long, text string",
+    )
+    df = doc_df.unionAll(edge)
+    layered = {
+        r["id"]: r["sh"] for r in simhash_table(df, "doc_id", "text").collect()
+    }
+    direct = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert layered == direct

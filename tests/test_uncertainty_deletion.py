@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
 from pyspark.sql import functions as F
 
 from dedupe_spark.operators.blocking import deletion_neighborhood_pairs
@@ -76,11 +77,36 @@ def test_deletion_neighborhood_matches_brute_force(spark):
 
 def test_deletion_neighborhood_rejects_depth_2(spark):
     df = spark.createDataFrame([(1, "ab")], "id long, w string")
-    try:
+    with pytest.raises(ValueError):
         deletion_neighborhood_pairs(df, "id", "w", max_edits=2)
-    except ValueError:
-        return
-    raise AssertionError("max_edits=2 should raise")
+
+
+def test_deletion_neighborhood_hot_short_keys(spark):
+    # adversarial skew: a vocabulary dominated by 2-3 char keys whose
+    # 1-char deletion variants collide on a handful of hot buckets
+    # (docstring warning, blocking.deletion_neighborhood_pairs). 600 ids
+    # over 6 short keys -> every variant bucket is hot; output must
+    # still be exactly the brute-force distance<=1 pair set.
+    short = ["ab", "ac", "bc", "a", "b", "abc"]
+    rows = [(i, short[i % len(short)]) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, w string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in deletion_neighborhood_pairs(df, "id", "w").collect()
+    }
+    want = {
+        (ia, ib)
+        for (ia, wa), (ib, wb) in itertools.combinations(rows, 2)
+        if _lev(wa, wb) <= 1
+    }
+    assert got == want
+
+
+def test_blocking_rule_coverage_empty_rules(spark):
+    from dedupe_spark.operators.blocking import blocking_rule_coverage
+
+    with pytest.raises(ValueError):
+        blocking_rule_coverage([])
 
 
 def test_blocking_rule_coverage_incremental_counts(spark):
