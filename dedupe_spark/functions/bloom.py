@@ -298,9 +298,12 @@ def _build_words(df: DataFrame, key: Column | str, shape: Bloom) -> Bloom:
     """Fold every key's global bit positions into words (map-side
     combined bit_or) for an existing shape; only ~m/64 words reach the
     driver."""
-    pos = F.explode(shape.positions_expr(key)).alias("pos")
+    # outer + not-null: see operators/blocking.explode_blocks (the
+    # inferred size>0 filter would build the position array twice)
+    pos = F.explode_outer(shape.positions_expr(key)).alias("pos")
     word_rows = (
         df.select(pos)
+        .where(F.col("pos").isNotNull())
         .select(
             F.shiftright("pos", 6).alias("w"),
             # shiftleft's python binding wants a literal shift; the SQL

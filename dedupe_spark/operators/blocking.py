@@ -37,8 +37,22 @@ DEFAULT_SALT_GROUPS = 8
 
 
 def explode_blocks(df: DataFrame, id_col: str, bands_col: str = "bands") -> DataFrame:
-    """(id, band_key) — one row per (row, band)."""
-    return df.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("band_key"))
+    """(id, band_key) — one row per (row, band).
+
+    ``explode_outer`` + not-null filter, NOT plain ``explode``: Catalyst's
+    InferFiltersFromGenerate adds a ``size(bands) > 0`` filter under an
+    inner explode and pushes it below any exchange — duplicating the
+    entire bands expression tree, *including the Arrow signature UDF*,
+    so every MinHash signature was computed twice (measured: the
+    bands+explode stage of q21_fast at sf0.1 fell 7.9s -> 0.9s warm when
+    the second ArrowEvalPython node disappeared). The outer form gives
+    the rule nothing to infer; the not-null filter on the generator
+    OUTPUT restores inner-explode semantics (empty/NULL arrays emit
+    nothing) and cannot be pushed below the Generate it depends on."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(bands_col).alias("band_key"))
+        .where(F.col("band_key").isNotNull())
+    )
 
 
 DEFAULT_BLOOM_BUDGET_BYTES = 256 << 20  # auto mode falls back to semi above this
@@ -414,7 +428,11 @@ def deletion_neighborhood_pairs(
     if max_edits != 1:
         raise ValueError("deletion_neighborhood_pairs supports max_edits=1 only")
     keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("w"))
-    v = keyed.select("id", F.explode(deletion_variants(F.col("w"))).alias("v"))
+    # outer + not-null: see explode_blocks (the inferred size>0 filter
+    # would build every deletion-variant array twice per row)
+    v = keyed.select(
+        "id", F.explode_outer(deletion_variants(F.col("w"))).alias("v")
+    ).where(F.col("v").isNotNull())
     a = v.select(F.col("id").alias("id_a"), "v")
     b = v.select(F.col("id").alias("id_b"), "v")
     cand = (

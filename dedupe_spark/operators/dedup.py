@@ -78,9 +78,15 @@ def gram_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFram
         F.col(id_col).alias("id"),
         F.split(normalize_expr(F.col(text_col)), " ").alias("_toks"),
     )
+    # explode_outer + not-null, not plain explode: InferFiltersFromGenerate
+    # would add size(grams)>0 under an inner explode and push it below
+    # the _toks projection, re-deriving the whole tokenize+ngram tree a
+    # second time per row (see blocking.explode_blocks). Gram hashes are
+    # never NULL, so the filter restores inner semantics exactly.
     return t.select(
-        "id", F.explode(F.array_distinct(_ngrams_from_toks(F.col("_toks"), n))).alias("g")
-    )
+        "id",
+        F.explode_outer(F.array_distinct(_ngrams_from_toks(F.col("_toks"), n))).alias("g"),
+    ).where(F.col("g").isNotNull())
 
 
 def minhash_band_keys_sql(
@@ -112,7 +118,11 @@ def minhash_band_keys_sql(
         )
         for b in range(num_perm // rows_per_band)
     ]
-    return mins.select("id", F.explode(F.array(*band_cols)).alias("band_key"))
+    # outer + not-null: keeps InferFiltersFromGenerate from duplicating
+    # the md5 band expressions into a pushed-down filter (explode_blocks)
+    return mins.select(
+        "id", F.explode_outer(F.array(*band_cols)).alias("band_key")
+    ).where(F.col("band_key").isNotNull())
 
 
 def minhash_lsh_pairs(
@@ -368,9 +378,11 @@ def passage_rows(
         F.col(id_col).alias("id"),
         F.split(normalize_expr(F.col(text_col)), " ").alias("_toks"),
     )
+    # outer + not-null: see blocking.explode_blocks (inferred size>0
+    # filter would re-derive the tokenize+passage tree below the project)
     return t.select(
-        "id", F.explode(_passages_from_toks(F.col("_toks"), window)).alias("phash")
-    )
+        "id", F.explode_outer(_passages_from_toks(F.col("_toks"), window)).alias("phash")
+    ).where(F.col("phash").isNotNull())
 
 
 def passage_dedup_stats(
@@ -904,10 +916,14 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     (such pairs are found only when a band happens to collide).
     """
     sh = simhash_table(df, id_col, text_col, out_col="sh")
+    # outer + not-null: an inner explode's inferred size>0 filter would
+    # substitute the ENTIRE layered simhash tree below sh's projection
+    # (see blocking.explode_blocks) — exactly the duplication
+    # simhash_table exists to avoid
     bands = sh.select(
         "id",
         "sh",
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.concat(
@@ -918,7 +934,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
                 ]
             )
         ).alias("band_key"),
-    )
+    ).where(F.col("band_key").isNotNull())
     a = bands.select("band_key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = bands.select("band_key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -1079,11 +1095,18 @@ def duplicated_spans(
     else:
         keys = [win.alias("w1")]
         key_names = ["w1"]
-    wins = d.select(
-        "id",
-        F.explode(F.sequence(F.lit(1), F.size("toks") - k + 1)).alias("start"),
-        "toks",
-    ).select("id", "start", *keys)
+    # outer + not-null: see blocking.explode_blocks (the size>=k filter
+    # above already guarantees a non-empty ascending sequence; an inner
+    # explode's inferred filter would still duplicate the token subtree)
+    wins = (
+        d.select(
+            "id",
+            F.explode_outer(F.sequence(F.lit(1), F.size("toks") - k + 1)).alias("start"),
+            "toks",
+        )
+        .where(F.col("start").isNotNull())
+        .select("id", "start", *keys)
+    )
     dup_wins = (
         wins.groupBy(*key_names)
         .agg(F.count_distinct("id").alias("n_docs"))

@@ -516,9 +516,12 @@ def tfidf_cosine_on_pairs(
 
     Output: (id_a, id_b, tfidf_cosine).
     """
-    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    # outer + not-null: see blocking.explode_blocks (the inferred size>0
+    # filter would run the regex split twice per row)
+    toks = F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
     tf = (
         docs.select(F.col(id_col).alias("id"), toks)
+        .where(F.col("token").isNotNull())
         .groupBy("id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )

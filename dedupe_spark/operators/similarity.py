@@ -259,7 +259,11 @@ def bucketed_topk(
         probes = F.array(
             F.col("bucket"), *[_flip_bit(F.col("bucket"), i, planes) for i in range(planes)]
         )
-        q = q.withColumn("bucket", F.explode(probes))
+        # outer + not-null: see blocking.explode_blocks (the inferred
+        # size>0 filter would substitute the sign-bucket tree per probe)
+        q = q.withColumn("bucket", F.explode_outer(probes)).where(
+            F.col("bucket").isNotNull()
+        )
     scored = (
         v.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -184,7 +184,11 @@ def repetition_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc
         )
     )
     top = (
-        base.select(id_col, F.explode("_grams").alias("_g"))
+        # outer + not-null: keeps the inferred size>0 filter from
+        # re-deriving the gram array below _grams' projection
+        # (see blocking.explode_blocks)
+        base.select(id_col, F.explode_outer("_grams").alias("_g"))
+        .where(F.col("_g").isNotNull())
         .groupBy(id_col, "_g")
         .agg(F.count("*").alias("_c"))
         .groupBy(id_col)
@@ -299,9 +303,12 @@ def tfidf_top_terms(
     1-row aggregate (cross join), not a driver-side collect, so the
     whole thing stays one lazy DAG.
     """
-    toks = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+    # outer + not-null: see blocking.explode_blocks (the inferred size>0
+    # filter would run the regex split twice per row)
+    toks = F.explode_outer(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
     tf = (
         df.select(F.col(id_col).alias("id"), toks)
+        .where(F.col("token").isNotNull())
         .groupBy("id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
     )
