@@ -1923,6 +1923,113 @@ def q81_blocking_rule_coverage(spark, sf_dir):
     return blocking_rule_coverage(rules)
 
 
+def q82_link_pipeline(spark, sf_dir):
+    """Full production A↔B linkage pipeline (pipeline.link): documents
+    chunked into deterministic 16-token transcript turns, split into a
+    probe table (odd doc_id) and a registry table (even), then linked
+    end-to-end — per-side docs + xxhash64/Philox MinHash bands, Bloom
+    probe of the registry key set, salted cross-table candidate join
+    (blocking.cross_candidate_pairs), Jaccard-gated verification
+    scoring, and many-to-one assignment (best registry link per probe
+    record). The probe-stream-vs-build-registry flow of the reference
+    (src/deduplication.cpp:1393-1461) generalized to two tables. No SQL
+    oracle: the production hash family is not ANSI-SQL-expressible (same
+    status as q21_fast); the stage composition is oracle-verified by
+    q83, and the e2e F1 contract by tests/test_link_pipeline.py."""
+    from dedupe_spark import pipeline
+    from dedupe_spark.operators.dedup import chunk_documents
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_tokens=16)
+    turns = ch.select(
+        F.col("doc_id").alias("conv_id"),
+        F.col("chunk_idx").cast("long").alias("turn_idx"),
+        F.when(F.col("chunk_idx") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("chunk_text").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    probe = turns.where(F.col("conv_id") % 2 == 1)
+    registry = turns.where(F.col("conv_id") % 2 == 0)
+    res = pipeline.link(
+        probe, registry, pipeline.PipelineConfig(link_mode="many_to_one")
+    )
+    _QUERY_DEPS.extend(res.persisted)
+    return res.links.select(
+        F.col("conv_id_a").cast("long").alias("id_a"),
+        F.col("conv_id_b").cast("long").alias("id_b"),
+        F.round("score", 4).alias("score"),
+        "link_type",
+    )
+
+
+def q83_linkage_waterfall(spark, sf_dir):
+    """Oracle-expressible A↔B linkage waterfall over the documents
+    corpus split into probe (odd doc_id) / registry (even): exact
+    normalized-fingerprint links first (per-fp registry minimum, score
+    2.0), then md5-family MinHash/LSH cross-table candidates
+    (dedup.minhash_band_keys_sql — the oracle-exact hash family) through
+    blocking.cross_candidate_pairs' per-side stop band, verified with
+    distinct 3-gram Jaccard >= 0.5, and many-to-one assignment (best
+    link per probe record, score desc / partner-id tie-break). The SQL
+    oracle replicates every stage 1:1; salting and Bloom pruning change
+    no output rows by construction, so the oracle omits them."""
+    from dedupe_spark.operators import blocking
+    from dedupe_spark.operators.dedup import gram_rows, minhash_band_keys_sql
+    from dedupe_spark.operators.normalize import norm_text
+
+    release_query_caches()
+    d = _t(spark, sf_dir, "documents")
+    probe = d.where(F.col("doc_id") % 2 == 1)
+    registry = d.where(F.col("doc_id") % 2 == 0)
+
+    def fp(df):
+        return df.select("doc_id", F.md5(norm_text("text")).alias("fp"))
+
+    bmin = fp(registry).groupBy("fp").agg(F.min("doc_id").alias("id_b"))
+    exact = fp(probe).join(bmin, "fp").select(F.col("doc_id").alias("id_a"), "id_b")
+    exact = exact.persist()
+    _QUERY_DEPS.append(exact)
+
+    bands_a = minhash_band_keys_sql(probe, "doc_id", "text")
+    bands_b = minhash_band_keys_sql(registry, "doc_id", "text")
+    cand = blocking.cross_candidate_pairs(bands_a, bands_b).join(
+        exact, ["id_a", "id_b"], "left_anti"
+    )
+
+    # distinct 3-gram sets per doc; jaccard on the candidate pairs only
+    ga = gram_rows(d, "doc_id", "text", 3).groupBy("id").agg(
+        F.collect_set("g").alias("gr")
+    )
+    ga = ga.persist()
+    _QUERY_DEPS.append(ga)
+    jac = F.size(F.array_intersect("gr_a", "gr_b")).cast("double") / F.size(
+        F.array_union("gr_a", "gr_b")
+    )
+    near = (
+        cand.join(ga.select(F.col("id").alias("id_a"), F.col("gr").alias("gr_a")), "id_a")
+        .join(ga.select(F.col("id").alias("id_b"), F.col("gr").alias("gr_b")), "id_b")
+        .withColumn("score", jac)
+        .where(F.col("score") >= 0.5)
+        .select("id_a", "id_b", "score")
+    )
+
+    from pyspark.sql import Window
+
+    links = exact.select(
+        "id_a", "id_b", F.lit(2.0).alias("score"), F.lit("exact").alias("link_type")
+    ).unionByName(near.withColumn("link_type", F.lit("near")))
+    w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+    return (
+        links.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("id_a", "id_b", F.round("score", 4).alias("score"), "link_type")
+    )
+
+
 _AUC_PAIR_OFFSETS = (1, 3, 7)
 
 
@@ -2082,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_uncertainty_sample": q79_uncertainty_sample,
         "q80_deletion_neighborhood": q80_deletion_neighborhood,
         "q81_blocking_rule_coverage": q81_blocking_rule_coverage,
+        "q82_link_pipeline": q82_link_pipeline,
+        "q83_linkage_waterfall": q83_linkage_waterfall,
         "q28_cc_exact_clusters": q28_cc_exact_clusters,
         "q29_incremental_cc": q29_incremental_cc,
         "q30_cosine_topk": q30_cosine_topk,
@@ -2104,6 +2213,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_streaming_event_windows": q45_streaming_event_windows,
         "q46_streaming_sessionize": q46_streaming_sessionize,
     }
+
+
+def _linkage_waterfall_oracle_sql(num_perm: int = 12, r: int = 2, max_block: int = 64) -> str:
+    """q83 oracle: exact-fp links + md5-minhash cross candidates with
+    the per-side stop band + 3-gram Jaccard verify + many-to-one
+    assignment — operators mirrored: pipeline-style waterfall over
+    blocking.cross_candidate_pairs and dedup.minhash_band_keys_sql."""
+    perms = [f"min(md5('{j}:' || g)) AS m{j}" for j in range(num_perm)]
+    band_keys = [
+        f"'b{b}:' || md5(" + " || '|' || ".join(f"m{b * r + i}" for i in range(r)) + ")"
+        for b in range(num_perm // r)
+    ]
+    return f"""
+WITH {_GRAMS3_SQL},
+fpp AS (SELECT doc_id, md5({_NORM_SQL.format(c='text')}) AS fp FROM documents),
+bminx AS (SELECT fp, min(doc_id) AS id_b FROM fpp WHERE doc_id % 2 = 0 GROUP BY fp),
+exact AS (
+    SELECT p.doc_id AS id_a, b.id_b FROM fpp p JOIN bminx b USING (fp)
+    WHERE p.doc_id % 2 = 1
+),
+mins AS (SELECT doc_id, {', '.join(perms)} FROM grams GROUP BY doc_id),
+keys AS (SELECT doc_id, unnest([{', '.join(band_keys)}]) AS band_key FROM mins),
+fa AS (SELECT band_key, count(*) AS c FROM keys WHERE doc_id % 2 = 1 GROUP BY 1),
+fb AS (SELECT band_key, count(*) AS c FROM keys WHERE doc_id % 2 = 0 GROUP BY 1),
+live AS (
+    SELECT fa.band_key FROM fa JOIN fb USING (band_key)
+    WHERE fa.c <= {max_block} AND fb.c <= {max_block}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM keys a
+    JOIN live USING (band_key)
+    JOIN keys b ON a.band_key = b.band_key
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+),
+cand2 AS (
+    SELECT c.* FROM cand c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM exact e WHERE e.id_a = c.id_a AND e.id_b = c.id_b
+    )
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS ni
+    FROM cand2 c
+    JOIN grams ga ON ga.doc_id = c.id_a
+    JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+    GROUP BY 1, 2
+),
+near AS (
+    SELECT i.id_a, i.id_b, ni / (sa.sz + sb.sz - ni) AS score
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE ni / (sa.sz + sb.sz - ni) >= 0.5
+),
+links AS (
+    SELECT id_a, id_b, CAST(2.0 AS DOUBLE) AS score, 'exact' AS link_type FROM exact
+    UNION ALL
+    SELECT id_a, id_b, score, 'near' FROM near
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rr
+    FROM links
+)
+SELECT id_a, id_b, round(score, 4) AS score, link_type FROM ranked WHERE rr = 1
+"""
 
 
 def _minhash_oracle_sql(num_perm: int = 12, r: int = 2) -> str:
@@ -3225,6 +3401,7 @@ SELECT left_id, right_id, round(jaccard, 4) AS jaccard
 FROM ranked WHERE ra = 1 AND rb = 1
 """,
         "q73_tf_adjusted_linkage": _fs_tf_oracle(),
+        "q83_linkage_waterfall": _linkage_waterfall_oracle_sql(),
         "q75_match_waterfall": _fs_waterfall_oracle(),
         "q78_unlinkables": _fs_unlinkables_oracle(),
         "q79_uncertainty_sample": _fs_uncertainty_oracle(),

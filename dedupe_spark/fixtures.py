@@ -338,3 +338,40 @@ def labeled_pairs(spark: SparkSession, n_conv: int = 200, seed: int = SEED) -> D
 
     pdf = pd.DataFrame(rows, columns=["conv_id_a", "conv_id_b", "is_dup", "dup_class"])
     return spark.createDataFrame(pdf, schema=schemas.LABELED_PAIRS)
+
+
+def linkage_sources(
+    spark: SparkSession, n_conv: int = 200, seed: int = SEED
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-source record-linkage fixture for ``pipeline.link``:
+    (probe, registry, truth_links).
+
+    The self-dedup plan is split by duplicate class: the *registry* side
+    holds every base conversation (cluster seeds, plain singletons, and
+    one member of each hard-negative pair); the *probe* side holds every
+    injected copy (exact/near/structural) PLUS the other member of each
+    hard-negative pair — same-skeleton texts whose true match is absent
+    from the registry, the classic unlinkable-probe trap. Ground truth:
+    each copy links to its cluster seed; hard-negative probes link to
+    nothing. Truth is exhaustive (every probe's true link is known), so
+    linkage F1 is computed over ALL predictions, no pair sampling.
+    """
+    plan = build_plan(n_conv, seed)
+    is_copy = plan["dup_class"] != "base"
+    is_hn_probe = plan["hardneg_partner"].isna() & plan["is_hardneg"] & ~is_copy
+    probe_ids = plan.loc[is_copy | is_hn_probe, ["conv_id"]]
+    registry_ids = plan.loc[~(is_copy | is_hn_probe), ["conv_id"]]
+
+    tr = transcripts(spark, n_conv, seed)
+    probe = tr.join(
+        F.broadcast(spark.createDataFrame(probe_ids)), "conv_id", "left_semi"
+    )
+    registry = tr.join(
+        F.broadcast(spark.createDataFrame(registry_ids)), "conv_id", "left_semi"
+    )
+    truth = spark.createDataFrame(
+        plan.loc[is_copy, ["conv_id", "cluster_seed_id"]].rename(
+            columns={"conv_id": "conv_id_a", "cluster_seed_id": "conv_id_b"}
+        )
+    )
+    return probe, registry, truth

@@ -193,6 +193,124 @@ def candidate_pairs(
     return pairs_cold.select("id_a", "id_b").union(pairs_hot.select("id_a", "id_b")).distinct()
 
 
+def cross_bloom_preprune(
+    blocks_a: DataFrame,
+    blocks_b: DataFrame,
+    mode: str = "auto",
+    fpp: float = 1e-4,
+    stats: dict | None = None,
+    shards: int = 1,
+    max_driver_bytes: int = DEFAULT_BLOOM_BUDGET_BYTES,
+    deps: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """A↔B analogue of :func:`bloom_preprune`: a block row can only pair
+    if its band key occurs on the OTHER side — the reference's
+    probe-stream-vs-build-registry split
+    (/root/reference/src/deduplication.cpp:1393-1417) generalized to two
+    tables. Side A (the probe) is pruned map-side by a Bloom over side
+    B's distinct keys (``mode="bloom"``/``"auto"`` within the driver
+    budget; semi-join otherwise/beyond it), then side B (the registry)
+    is semi-joined against the *pruned* A key set — by then a small,
+    candidate-only set, so Catalyst's runtime bloom-filter join applies.
+    At 10^12-turn registry scale the budget fallback matters: the
+    registry key set can never pin a driver bitmap, but the probe batch
+    side usually fits.
+    """
+
+    def _cache(df: DataFrame) -> DataFrame:
+        if deps is not None:
+            df = df.persist()
+            deps.append(df)
+        return df
+
+    keys_b = blocks_b.select("band_key").distinct()
+    a_pruned = None
+    if mode in ("bloom", "auto"):
+        from dedupe_spark.functions.bloom import BloomBudgetError, build_bloom
+
+        try:
+            bloom = build_bloom(
+                keys_b, "band_key", fpp=fpp, shards=shards,
+                max_driver_bytes=max_driver_bytes,
+            )
+            if deps is not None:
+                deps.append(bloom)
+            if stats is not None:
+                stats["bloom_mode_used"] = "bloom"
+                stats["bloom_registry_keys"] = bloom.n_items
+            a_pruned = bloom.probe(blocks_a, "band_key")
+        except BloomBudgetError:
+            if mode != "auto":
+                raise
+            if stats is not None:
+                stats["bloom_mode_used"] = "semi_budget_fallback"
+    if a_pruned is None:
+        if stats is not None:
+            stats.setdefault("bloom_mode_used", "semi")
+        a_pruned = blocks_a.join(keys_b, "band_key", "left_semi")
+    a_pruned = _cache(a_pruned)
+    b_pruned = _cache(
+        blocks_b.join(a_pruned.select("band_key").distinct(), "band_key", "left_semi")
+    )
+    return a_pruned, b_pruned
+
+
+def cross_candidate_pairs(
+    blocks_a: DataFrame,
+    blocks_b: DataFrame,
+    max_block: int = DEFAULT_MAX_BLOCK,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    salt_groups: int = DEFAULT_SALT_GROUPS,
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from band-key co-occurrence
+    ACROSS two tables — :func:`candidate_pairs` without the self-join's
+    id_a < id_b orientation (the sides are different namespaces; every
+    A-row pairs with every co-keyed B-row exactly once).
+
+    Same three frequency tiers, applied per side: a key past
+    ``max_block`` on EITHER side is stop-banded (its pair fan-out is
+    df_a·df_b — quadratic skew is bounded before the join, exactly as in
+    the self-join case); a key past ``salt_threshold`` on either side
+    goes through the salted tier (A keeps a deterministic salt, B
+    replicates to every salt value, so each (a, b) meets exactly once
+    and a hot key's work spreads over ``salt_groups`` tasks).
+    """
+    fa = blocks_a.groupBy("band_key").agg(F.count("*").alias("dfa"))
+    fb = blocks_b.groupBy("band_key").agg(F.count("*").alias("dfb"))
+    live = (
+        fa.join(fb, "band_key")
+        .where((F.col("dfa") <= max_block) & (F.col("dfb") <= max_block))
+        .select("band_key", F.greatest("dfa", "dfb").alias("hot"))
+    )
+    a = blocks_a.join(live, "band_key")
+    b = blocks_b.join(live.select("band_key", "hot"), "band_key")
+
+    a1 = a.where(F.col("hot") <= salt_threshold).select(
+        "band_key", F.col("id").alias("id_a")
+    )
+    b1 = b.where(F.col("hot") <= salt_threshold).select(
+        "band_key", F.col("id").alias("id_b")
+    )
+    pairs_cold = a1.join(b1, "band_key")
+
+    salt = F.pmod(F.xxhash64("id"), F.lit(salt_groups)).cast("int")
+    a2 = a.where(F.col("hot") > salt_threshold).select(
+        "band_key", F.col("id").alias("id_a"), salt.alias("salt")
+    )
+    b2 = b.where(F.col("hot") > salt_threshold).select(
+        "band_key",
+        F.col("id").alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_groups - 1))).alias("salt"),
+    )
+    pairs_hot = a2.join(b2, ["band_key", "salt"]).drop("salt")
+
+    return (
+        pairs_cold.select("id_a", "id_b")
+        .union(pairs_hot.select("id_a", "id_b"))
+        .distinct()
+    )
+
+
 def exact_key_pairs(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
     """Pairs sharing an exact fingerprint (md5 path, D1): group -> min id.
 

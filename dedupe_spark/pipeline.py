@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dedupe_spark.catalog import SnapshotCatalog
@@ -78,6 +78,15 @@ class PipelineConfig:
     resume: bool = False
     # metrics cost ~6 extra jobs (counts); opt in when publishing a run
     compute_metrics: bool = False
+    # A↔B linkage assignment mode (pipeline.link only):
+    #   "one_to_one"  — exact links assigned by per-fingerprint rank-zip
+    #                   (guaranteed 1:1), fuzzy residual by reciprocal
+    #                   best match; no record appears twice
+    #   "many_to_one" — every A record keeps its single best link (a
+    #                   probe batch matched against a registry; several
+    #                   A records may hit the same B record)
+    #   "all"         — every accepted link, unassigned (caller resolves)
+    link_mode: str = "one_to_one"
     extra: dict = field(default_factory=dict)
 
 
@@ -259,6 +268,205 @@ def run(
     )
     if catalog is not None:
         commit(result, catalog)
+    return result
+
+
+@dataclass
+class LinkResult:
+    links: DataFrame
+    scored_pairs: DataFrame
+    candidate_pairs: DataFrame
+    docs_a: DataFrame
+    docs_b: DataFrame
+    metrics: DataFrame
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
+
+
+#: Unit-separator side tag: prepended to conv_ids internally so the two
+#: sources can share id values without colliding anywhere in the shared
+#: blocking/scoring machinery; stripped from every output column.
+_SIDE_A = "a\x1f"
+_SIDE_B = "b\x1f"
+
+
+def _tag_side(transcripts: DataFrame, tag: str) -> DataFrame:
+    return transcripts.withColumn("conv_id", F.concat(F.lit(tag), F.col("conv_id")))
+
+
+def _strip_side(col: str) -> Column:
+    return F.substring(F.col(col), len(_SIDE_A) + 1, 2**30).alias(col)
+
+
+def link(
+    transcripts_a: DataFrame,
+    transcripts_b: DataFrame,
+    config: PipelineConfig | None = None,
+    catalog: SnapshotCatalog | None = None,
+) -> LinkResult:
+    """A↔B record linkage: link every conversation in ``transcripts_a``
+    to its duplicate in ``transcripts_b`` (two sources describing
+    overlapping entities), reusing the self-dedup machinery stage for
+    stage — the reference's probe-stream-vs-build-registry flow
+    (/root/reference/src/deduplication.cpp:1393-1461) generalized from
+    "batch probes its own registry" to "table A probes table B":
+
+      1. per-side docs + exact fp + MinHash band keys (IDENTICAL key
+         derivation to ``run`` — _docs_with_bands — so a corpus linked
+         today and self-deduped tomorrow agrees on its blocks);
+      2. exact links across tables on the fingerprint; one-to-one mode
+         rank-zips each fingerprint group (k A-copies × j B-copies give
+         min(k, j) links, linear output, no quadratic group fan-out);
+      3. fuzzy candidates: Bloom probe of A's blocks against B's key
+         set, then the salted skew-aware CROSS join
+         (blocking.cross_candidate_pairs — no id_a < id_b, the sides
+         are distinct namespaces);
+      4. the same cheap→expensive verification scoring as ``run``
+         (Jaccard gate → configured decider) over the union doc table;
+      5. assignment per ``config.link_mode``: reciprocal-best one-to-one
+         (the distributed relaxation of Fellegi-Sunter's 1:1 rule),
+         best-per-A many-to-one, or all accepted links.
+
+    Output ``links``: (conv_id_a, conv_id_b, score, link_type) with
+    link_type in ('exact', 'near'); exact links carry score 2.0 so they
+    outrank any fuzzy score in assignment. Committed to the catalog as
+    the ``links`` table when one is passed.
+    """
+    cfg = config or PipelineConfig()
+    if cfg.link_mode not in ("one_to_one", "many_to_one", "all"):
+        raise ValueError(f"unknown link_mode: {cfg.link_mode!r}")
+    spark = transcripts_a.sparkSession
+    persisted: list[DataFrame] = []
+
+    docs_a = _docs_with_bands(_tag_side(transcripts_a, _SIDE_A), cfg).persist()
+    docs_b = _docs_with_bands(_tag_side(transcripts_b, _SIDE_B), cfg).persist()
+    persisted += [docs_a, docs_b]
+
+    # 2. exact cross links (linear in group size on both sides)
+    if cfg.link_mode == "one_to_one":
+        wa = Window.partitionBy("exact_fp").orderBy("conv_id")
+        ra = docs_a.select("conv_id", "exact_fp").withColumn(
+            "_r", F.row_number().over(wa)
+        )
+        rb = docs_b.select(
+            F.col("conv_id").alias("_bid"), "exact_fp"
+        ).withColumn("_r", F.row_number().over(Window.partitionBy("exact_fp").orderBy("_bid")))
+        exact = ra.join(rb, ["exact_fp", "_r"]).select(
+            F.col("conv_id").alias("id_a"), F.col("_bid").alias("id_b")
+        )
+    else:
+        bmin = docs_b.groupBy("exact_fp").agg(F.min("conv_id").alias("id_b"))
+        exact = docs_a.select("conv_id", "exact_fp").join(bmin, "exact_fp").select(
+            F.col("conv_id").alias("id_a"), "id_b"
+        )
+    exact = exact.persist()
+    persisted.append(exact)
+
+    # 3. fuzzy candidates: bloom probe + salted cross join
+    blocks_a = blocking.explode_blocks(docs_a, "conv_id", "bands")
+    blocks_b = blocking.explode_blocks(docs_b, "conv_id", "bands")
+    bloom_stats: dict = {}
+    blocks_a, blocks_b = blocking.cross_bloom_preprune(
+        blocks_a, blocks_b,
+        mode=cfg.bloom_mode, stats=bloom_stats, shards=cfg.bloom_shards,
+        max_driver_bytes=cfg.bloom_max_driver_bytes, deps=persisted,
+    )
+    cands = blocking.cross_candidate_pairs(
+        blocks_a, blocks_b,
+        max_block=cfg.max_block,
+        salt_threshold=cfg.salt_threshold,
+        salt_groups=cfg.salt_groups,
+    )
+    # exact links need no scoring; sides are distinct namespaces so the
+    # orientation is already canonical (id_a from A, id_b from B)
+    cands = cands.join(exact, ["id_a", "id_b"], "left_anti")
+
+    # 4. verification scoring over the union doc table (tagged ids make
+    # the two sources collision-free in one keyed table)
+    scoring_docs = docs_a.select("conv_id", "doc", "doc_len", "sh").unionByName(
+        docs_b.select("conv_id", "doc", "doc_len", "sh")
+    )
+    scored = scoring.score_pairs(
+        cands, scoring_docs,
+        min_len_ratio=cfg.min_len_ratio, k=cfg.shingle_k,
+        decider=cfg.decider, sh_col="sh", deps=persisted,
+    )
+    near = scored.where("is_dup").select(
+        "id_a", "id_b", F.col("jaccard").cast("double").alias("score")
+    )
+
+    # 5. assignment
+    exact_links = exact.select(
+        "id_a", "id_b", F.lit(2.0).alias("score"), F.lit("exact").alias("link_type")
+    )
+    near_links = near.select("id_a", "id_b", "score", F.lit("near").alias("link_type"))
+    if cfg.link_mode == "one_to_one":
+        # exact links are 1:1 by rank-zip construction and outrank any
+        # fuzzy score; reciprocal-best runs on the residual records only.
+        # (Reciprocal-best must NOT see the zip-ranked exact pairs: its
+        # smaller-partner tie-break would keep only each group's first
+        # rank and drop the rest of a perfectly valid 1:1 assignment.)
+        residual = (
+            near_links.join(exact_links.select("id_a"), "id_a", "left_anti")
+            .join(exact_links.select("id_b"), "id_b", "left_anti")
+        )
+        from dedupe_spark.operators.linkage import reciprocal_best_links
+
+        links = exact_links.unionByName(
+            reciprocal_best_links(residual, "id_a", "id_b", "score")
+        )
+    elif cfg.link_mode == "many_to_one":
+        w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+        links = (
+            exact_links.unionByName(near_links)
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .drop("_r")
+        )
+    else:
+        links = exact_links.unionByName(near_links)
+
+    links = links.select(
+        _strip_side("id_a").alias("conv_id_a"),
+        _strip_side("id_b").alias("conv_id_b"),
+        "score",
+        "link_type",
+    )
+
+    if cfg.compute_metrics or catalog is not None:
+        n_a = docs_a.count()
+        n_b = docs_b.count()
+        n_cand = cands.count()
+        n_links = links.count()
+        metrics = spark.createDataFrame(
+            [
+                ("n_records_a", float(n_a)),
+                ("n_records_b", float(n_b)),
+                ("n_candidate_pairs", float(n_cand)),
+                ("n_links", float(n_links)),
+                ("link_rate_a", float(n_links) / n_a if n_a else 0.0),
+            ],
+            "metric string, value double",
+        )
+    else:
+        metrics = spark.createDataFrame([], "metric string, value double")
+
+    result = LinkResult(
+        links=links,
+        scored_pairs=scored,
+        candidate_pairs=cands,
+        docs_a=docs_a,
+        docs_b=docs_b,
+        metrics=metrics,
+        persisted=persisted,
+    )
+    if catalog is not None:
+        catalog.write("links", links)
+        catalog.write("link_metrics", metrics)
     return result
 
 
