@@ -768,7 +768,15 @@ def ngram_containment_pairs_prefix(
     surfaced trade the blocking stop-band makes. Opt-in because it
     sacrifices exactness: a contained doc is missed iff ALL its prefix
     grams are hotter than the cap (verification itself stays exact).
-    Default None = exact."""
+    Default None = exact.
+
+    Degenerate docs (NULL/empty/whitespace text) normalize to the single
+    whole-doc fallback gram ``""`` and therefore pair with EACH OTHER at
+    containment 1.0, never with real documents — the same semantics the
+    q74 DuckDB oracle computes (tests/test_adversarial_er.py pins this).
+    Callers curating corpora with many empty docs should pre-filter them
+    (operators/text_analysis quality gates) rather than special-case
+    them here."""
     grams = gram_rows(df, id_col, text_col, n)
     if persist_grams:
         # feeds rarity, prefix, and both verification sides

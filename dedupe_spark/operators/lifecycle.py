@@ -167,9 +167,14 @@ def register_turns_incremental(
 
     # bucket-aware probe: when the registry was read from a
     # bucket-partitioned layout (catalog partition_by=["fp_bucket"]),
-    # probe on (fp_bucket, fp) — the bucket equi-key lets the scan prune
-    # to the probed buckets (static partition filters / DPP) instead of
-    # reading the whole registry per batch (SURVEY §1.2; VERDICT r3 #1)
+    # probe on (fp_bucket, fp) and STATICALLY restrict the registry scan
+    # to the buckets this batch actually touches: the probed-bucket set
+    # is collected first (<= n_buckets ints, one tiny job over the
+    # batch's fingerprints — the scan-side pruning Catalyst's dynamic
+    # partition pruning does NOT provide here, verified by plan: the
+    # bloom-flagged probe side defeats DPP's selectivity heuristics, so
+    # without the explicit IN filter the scan reads every bucket;
+    # tests/test_partition_pruning.py pins PartitionFilters).
     # ``n_buckets`` MUST match the registry's written layout: the probe
     # recomputes fp_bucket for the incoming batch, and a mismatched
     # modulus silently misses every existing fingerprint (duplicate
@@ -180,12 +185,26 @@ def register_turns_incremental(
     probe_keys = ["fp_bucket", "fp"] if bucketed else ["fp"]
     u_probe = unique_turns.select(*probe_keys, "block_id")
 
+    def _bucket_pruned(probe_side: DataFrame) -> DataFrame:
+        if not bucketed:
+            return u_probe
+        bks = [r[0] for r in probe_side.select("fp_bucket").distinct().collect()]
+        if not bks:  # nothing to probe: prune every partition
+            return u_probe.where(F.lit(False))
+        return u_probe.where(F.col("fp_bucket").isin(bks))
+
     flagged = t.select("fp").distinct()
     if bucketed:
         flagged = with_fp_bucket(flagged, n_buckets=n_buckets)
     if bloom is not None:
         flagged = bloom.flag(flagged, "fp", "_maybe")
-        probed = flagged.where("_maybe").join(u_probe, probe_keys, "left")
+        if deps is not None:
+            # read by the bucket collect, the probe join, and the bloom
+            # insert below — one batch-side computation, not three
+            flagged = flagged.persist()
+            deps.append(flagged)
+        maybe = flagged.where("_maybe")
+        probed = maybe.join(_bucket_pruned(maybe), probe_keys, "left")
         # bloom false positives fall through to the new-fp set
         new_fps = flagged.where(~F.col("_maybe")).select("fp").unionByName(
             probed.where(F.col("block_id").isNull()).select("fp")
@@ -197,7 +216,10 @@ def register_turns_incremental(
             deps.append(bloom)
     else:
         # budget fallback: no driver bitmap — probe the registry directly
-        probed = flagged.join(u_probe, probe_keys, "left")
+        if deps is not None and bucketed:
+            flagged = flagged.persist()
+            deps.append(flagged)
+        probed = flagged.join(_bucket_pruned(flagged), probe_keys, "left")
         new_fps = probed.where(F.col("block_id").isNull()).select("fp")
         if state is not None:
             state["bloom_mode_used"] = "semi_budget_fallback"
