@@ -58,6 +58,15 @@ def main() -> None:
                     help="fold --input into an EXISTING committed warehouse: "
                          "probe the committed block index, score only delta "
                          "pairs, O(delta) cluster-update append (run_incremental)")
+    ap.add_argument("--link-registry", default=None,
+                    help="parquet path of a SECOND transcript table: run two-"
+                         "table record linkage (pipeline.link) — --input is "
+                         "the probe side, this is the registry side; commits "
+                         "the links table instead of clusters")
+    ap.add_argument("--link-mode", default="one_to_one",
+                    choices=["one_to_one", "many_to_one", "all"],
+                    help="linkage assignment: reciprocal-best 1:1, best "
+                         "registry link per probe record, or all accepted links")
     ap.add_argument("--compact-clusters", action="store_true",
                     help="after an incremental run, fold the cluster_updates "
                          "log back into the base clusters table")
@@ -136,9 +145,23 @@ def main() -> None:
         aac_policy=not args.no_aac,
         scrub_pii=args.scrub_pii,
         lint=args.lint,
+        link_mode=args.link_mode,
     )
 
     t0 = time.time()
+    if args.link_registry:
+        from dedupe_spark import schemas
+        from dedupe_spark.pipeline import link
+
+        registry = spark.read.schema(schemas.TRANSCRIPTS).parquet(args.link_registry)
+        result = link(transcripts, registry, cfg, catalog=catalog)
+        print(json.dumps({
+            "links_table_rows": result.links.count(),
+            "wall_sec": round(time.time() - t0, 2),
+            "warehouse": args.output,
+        }))
+        spark.stop()
+        return
     if args.incremental:
         from dedupe_spark.pipeline import compact_clusters, current_clusters, run_incremental
 
