@@ -545,7 +545,10 @@ def deletion_neighborhood_pairs(
     """
     if max_edits != 1:
         raise ValueError("deletion_neighborhood_pairs supports max_edits=1 only")
-    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("w"))
+    # distinct: a source with duplicate (id, key) rows must not emit
+    # duplicate output pairs (the key re-join below is per id-row; the
+    # pre-refactor wide distinct collapsed these after the join)
+    keyed = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("w")).distinct()
     # outer + not-null: see explode_blocks (the inferred size>0 filter
     # would build every deletion-variant array twice per row)
     v = keyed.select(

@@ -438,6 +438,11 @@ def link(
     )
 
     if cfg.compute_metrics or catalog is not None:
+        # the links DAG is read up to three times below (n_links metric,
+        # catalog.write, the caller's own count) — persist it so the
+        # salted cross join + scoring run once, not per action
+        links = links.persist()
+        persisted.append(links)
         n_a = docs_a.count()
         n_b = docs_b.count()
         n_cand = cands.count()
@@ -449,18 +454,29 @@ def link(
                 ("n_candidate_pairs", float(n_cand)),
                 ("n_links", float(n_links)),
                 ("link_rate_a", float(n_links) / n_a if n_a else 0.0),
+                # 1.0 = map-side Bloom pruned the probe; 0.0 = semi-join
+                # fallback (budget or config) — visible from the artifact
+                ("bloom_mode_is_bloom", 1.0 if bloom_stats.get("bloom_mode_used") == "bloom" else 0.0),
             ],
             "metric string, value double",
         )
     else:
         metrics = spark.createDataFrame([], "metric string, value double")
 
+    # every exposed frame speaks the caller's id namespace: the internal
+    # side tags are stripped from ids on ALL outputs, not just links
+    # (note: ids come back as strings — _tag_side stringifies non-string
+    # conv_ids; q82 casts back where the source ids were numeric)
     result = LinkResult(
         links=links,
-        scored_pairs=scored,
-        candidate_pairs=cands,
-        docs_a=docs_a,
-        docs_b=docs_b,
+        scored_pairs=scored.withColumn("id_a", _strip_side("id_a")).withColumn(
+            "id_b", _strip_side("id_b")
+        ),
+        candidate_pairs=cands.withColumn("id_a", _strip_side("id_a")).withColumn(
+            "id_b", _strip_side("id_b")
+        ),
+        docs_a=docs_a.withColumn("conv_id", _strip_side("conv_id")),
+        docs_b=docs_b.withColumn("conv_id", _strip_side("conv_id")),
         metrics=metrics,
         persisted=persisted,
     )

@@ -176,8 +176,15 @@ def stream_register_turns(
             if bloom.fill_ratio > 0.5:
                 bloom = None
         state: dict = {}
+        # deps matters: without it the probe's flagged set is not
+        # persisted, and the bucket-pruning collect + probe join +
+        # new-fps union + bloom insert each recompute the batch's
+        # md5/distinct/bloom-flag subtree from scratch (~2x batch-side
+        # work per micro-batch)
+        batch_deps: list = []
         register_turns_incremental(
-            batch_df, u, m, registry_bloom=bloom, state=state, n_buckets=buckets
+            batch_df, u, m, registry_bloom=bloom, state=state,
+            n_buckets=buckets, deps=batch_deps,
         )
         # O(batch) append commits: only the delta rows are written.
         # unique_turns first — readers joining membership to unique_turns
@@ -205,6 +212,8 @@ def stream_register_turns(
             )
         finally:
             new_unique.unpersist()
+            for d in batch_deps:
+                d.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             # append commits are O(batch) but each adds a data dir to the
             # read view; periodic compaction folds the view back to one

@@ -56,7 +56,18 @@ _DTYPE_CLASS = {
 
 
 def _dtype_class(dt) -> str:
-    return _DTYPE_CLASS.get(str(dt), str(dt))
+    s = str(dt)
+    if s in _DTYPE_CLASS:
+        return _DTYPE_CLASS[s]
+    # prefix fallbacks so variants outside the table still land in a
+    # known class (tz-aware datetime64[ns, UTC], decimal128(…), etc.);
+    # an unknown class falls through as its literal string, which the
+    # comparison below always flags against a known class
+    if s.startswith("datetime64"):
+        return "ts"
+    if s.startswith(("decimal", "Decimal")):
+        return "decimal"
+    return s
 
 
 def _norm_cell(v, is_float: bool):
