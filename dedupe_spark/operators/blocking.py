@@ -151,6 +151,51 @@ def block_frequencies(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("band_key").agg(F.count("*").alias("df"))
 
 
+def _tiered_pairs(
+    a: DataFrame,
+    b: DataFrame,
+    salt_threshold: int,
+    salt_groups: int,
+    require_lt: bool,
+) -> DataFrame:
+    """Shared salted two-tier band-key join: ``a``/``b`` are
+    (band_key, id, hot) block tables already restricted to live (non-
+    stop-banded) keys, with ``hot`` the key's skew measure. Cold keys
+    join plainly; hot keys go through the salted tier — the A side
+    keeps a deterministic salt, the B side replicates to every salt
+    value, so each (a, b) meets exactly once — at partition
+    (band_key, salt(a)) — and a hot key's work spreads over
+    ``salt_groups`` tasks. ``require_lt`` adds the self-join's
+    id_a < id_b orientation; cross-table callers pass False (their
+    sides are distinct namespaces)."""
+    orient = (F.col("id_a") < F.col("id_b")) if require_lt else F.lit(True)
+
+    a1 = a.where(F.col("hot") <= salt_threshold).select(
+        "band_key", F.col("id").alias("id_a")
+    )
+    b1 = b.where(F.col("hot") <= salt_threshold).select(
+        "band_key", F.col("id").alias("id_b")
+    )
+    pairs_cold = a1.join(b1, "band_key").where(orient)
+
+    salt = F.pmod(F.xxhash64("id"), F.lit(salt_groups)).cast("int")
+    a2 = a.where(F.col("hot") > salt_threshold).select(
+        "band_key", F.col("id").alias("id_a"), salt.alias("salt")
+    )
+    b2 = b.where(F.col("hot") > salt_threshold).select(
+        "band_key",
+        F.col("id").alias("id_b"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_groups - 1))).alias("salt"),
+    )
+    pairs_hot = a2.join(b2, ["band_key", "salt"]).where(orient).drop("salt")
+
+    return (
+        pairs_cold.select("id_a", "id_b")
+        .union(pairs_hot.select("id_a", "id_b"))
+        .distinct()
+    )
+
+
 def candidate_pairs(
     blocks: DataFrame,
     max_block: int = DEFAULT_MAX_BLOCK,
@@ -169,28 +214,11 @@ def candidate_pairs(
     # sides hash-partitioned by band_key; the same exchange is then
     # reused by the self-join below).
     freq = block_frequencies(blocks)
-    b = blocks.join(freq.where(F.col("df") <= max_block), "band_key")
-    cold = b.where(F.col("df") <= salt_threshold).drop("df")
-    hot = b.where(F.col("df") > salt_threshold).drop("df")
-
-    # plain tier
-    a1 = cold.select("band_key", F.col("id").alias("id_a"))
-    b1 = cold.select("band_key", F.col("id").alias("id_b"))
-    pairs_cold = a1.join(b1, "band_key").where(F.col("id_a") < F.col("id_b"))
-
-    # salted tier: left keeps its deterministic salt; right replicates to
-    # every salt value, so (a,b) meets exactly once — at partition
-    # (band_key, salt(a)) — and a hot key's work spreads over G tasks.
-    salt = F.pmod(F.xxhash64("id"), F.lit(salt_groups)).cast("int")
-    a2 = hot.select("band_key", F.col("id").alias("id_a"), salt.alias("salt"))
-    b2 = hot.select(
+    live = blocks.join(
+        freq.where(F.col("df") <= max_block).withColumnRenamed("df", "hot"),
         "band_key",
-        F.col("id").alias("id_b"),
-        F.explode(F.sequence(F.lit(0), F.lit(salt_groups - 1))).alias("salt"),
     )
-    pairs_hot = a2.join(b2, ["band_key", "salt"]).where(F.col("id_a") < F.col("id_b")).drop("salt")
-
-    return pairs_cold.select("id_a", "id_b").union(pairs_hot.select("id_a", "id_b")).distinct()
+    return _tiered_pairs(live, live, salt_threshold, salt_groups, require_lt=True)
 
 
 def cross_bloom_preprune(
@@ -283,32 +311,8 @@ def cross_candidate_pairs(
         .select("band_key", F.greatest("dfa", "dfb").alias("hot"))
     )
     a = blocks_a.join(live, "band_key")
-    b = blocks_b.join(live.select("band_key", "hot"), "band_key")
-
-    a1 = a.where(F.col("hot") <= salt_threshold).select(
-        "band_key", F.col("id").alias("id_a")
-    )
-    b1 = b.where(F.col("hot") <= salt_threshold).select(
-        "band_key", F.col("id").alias("id_b")
-    )
-    pairs_cold = a1.join(b1, "band_key")
-
-    salt = F.pmod(F.xxhash64("id"), F.lit(salt_groups)).cast("int")
-    a2 = a.where(F.col("hot") > salt_threshold).select(
-        "band_key", F.col("id").alias("id_a"), salt.alias("salt")
-    )
-    b2 = b.where(F.col("hot") > salt_threshold).select(
-        "band_key",
-        F.col("id").alias("id_b"),
-        F.explode(F.sequence(F.lit(0), F.lit(salt_groups - 1))).alias("salt"),
-    )
-    pairs_hot = a2.join(b2, ["band_key", "salt"]).drop("salt")
-
-    return (
-        pairs_cold.select("id_a", "id_b")
-        .union(pairs_hot.select("id_a", "id_b"))
-        .distinct()
-    )
+    b = blocks_b.join(live, "band_key")
+    return _tiered_pairs(a, b, salt_threshold, salt_groups, require_lt=False)
 
 
 def exact_key_pairs(df: DataFrame, id_col: str, key_col: str) -> DataFrame:
