@@ -483,6 +483,217 @@ def link(
     if catalog is not None:
         catalog.write("links", links)
         catalog.write("link_metrics", metrics)
+        # registry-side probe state, so later probe batches can link
+        # against this registry WITHOUT re-blocking it
+        # (link_incremental): the registry's exact-fp index and band
+        # blocks bucket-partitioned for pruned probes (the same layout
+        # the self-dedup incremental path uses), and the normalized
+        # registry docs id-bucketed so scoring fetches only the touched
+        # ones. Ids are committed UNTAGGED (the caller's namespace).
+        reg_docs = docs_b.select(
+            _strip_side("conv_id"), "doc", "doc_len"
+        )
+        catalog.write(
+            "link_registry_docs",
+            lifecycle.with_fp_bucket(
+                reg_docs, key_col="conv_id", out_col="id_bucket"
+            ),
+            partition_by=["id_bucket"],
+        )
+        catalog.write(
+            "link_registry_index",
+            _with_key_bucket(
+                docs_b.select(_strip_side("conv_id"), "exact_fp"), "exact_fp"
+            ),
+            partition_by=["key_bucket"],
+        )
+        catalog.write(
+            "link_registry_blocks",
+            _with_key_bucket(
+                blocking.explode_blocks(docs_b, "conv_id", "bands").select(
+                    _strip_side("id").alias("conv_id"), "band_key"
+                ),
+                "band_key",
+            ),
+            partition_by=["key_bucket"],
+        )
+    return result
+
+
+def link_incremental(
+    new_probe: DataFrame,
+    catalog: SnapshotCatalog,
+    config: PipelineConfig | None = None,
+) -> LinkResult:
+    """Link a NEW batch of probe conversations against the registry a
+    prior ``link(..., catalog=...)`` committed — the linkage analogue of
+    ``run_incremental``: nothing re-blocks, re-fingerprints, or
+    re-scores the registry side.
+
+      1. the batch's docs + band keys derive exactly as in ``link``
+         (key parity is what makes the probe equivalent to the batch
+         cross join);
+      2. exact links: batch fps probe the committed
+         ``link_registry_index`` (bucket-pruned: the scan is statically
+         restricted to the batch's key buckets) → per-fp registry
+         minimum;
+      3. fuzzy candidates: batch bands probe the committed
+         ``link_registry_blocks`` pruned to touched (bucket, key) pairs;
+         the per-side stop band and salted cross join are the same
+         ``cross_candidate_pairs`` machinery;
+      4. scoring reads ONLY the touched registry docs
+         (``link_registry_docs`` id-bucket-pruned + semi-joined to the
+         candidate ids) — O(candidates), not O(registry);
+      5. assignment is batch-local, so only ``many_to_one`` and
+         ``all`` are valid: each probe record appears in exactly one
+         batch, making the per-batch best-link assignment globally
+         consistent. ``one_to_one`` needs cross-batch state (a registry
+         record consumed by batch 1 must reject batch 2) and is refused
+         loudly rather than silently mis-assigned.
+      6. the links delta appends to the committed ``links`` table.
+
+    Equivalence contract (tested): with ``many_to_one`` and no band key
+    crossing the stop band across the batch split, the union of
+    incremental link deltas equals ``link()`` over the concatenated
+    probe input.
+    """
+    cfg = config or PipelineConfig()
+    if cfg.link_mode not in ("many_to_one", "all"):
+        raise ValueError(
+            "link_incremental supports link_mode 'many_to_one' or 'all'; "
+            "one_to_one assignment needs cross-batch state (re-run link() "
+            "over the full probe set instead)"
+        )
+    spark = new_probe.sparkSession
+    persisted: list[DataFrame] = []
+
+    ndocs = _docs_with_bands(_tag_side(new_probe, _SIDE_A), cfg).persist()
+    persisted.append(ndocs)
+
+    def _tag_b(df: DataFrame, col: str = "conv_id") -> DataFrame:
+        return df.withColumn(col, F.concat(F.lit(_SIDE_B), F.col(col)))
+
+    def _bucket_prune(df: DataFrame, bucket_col: str, probe_side: DataFrame) -> DataFrame:
+        # static partition pruning, same rationale as the registry
+        # probe (lifecycle.register_turns_incremental): DPP cannot see
+        # through the batch side, so collect its <= 64 bucket values
+        bks = [r[0] for r in probe_side.select(bucket_col).distinct().collect()]
+        if not bks:
+            return df.where(F.lit(False))
+        return df.where(F.col(bucket_col).isin(bks))
+
+    # 2. exact links against the committed fp index
+    new_idx = _with_key_bucket(
+        ndocs.select("conv_id", "exact_fp"), "exact_fp"
+    ).persist()
+    persisted.append(new_idx)
+    reg_idx = _bucket_prune(
+        catalog.read("link_registry_index"), "key_bucket", new_idx
+    ).join(
+        new_idx.select("key_bucket", "exact_fp").distinct(),
+        ["key_bucket", "exact_fp"],
+    )
+    bmin = reg_idx.groupBy("key_bucket", "exact_fp").agg(
+        F.min("conv_id").alias("_rid")
+    )
+    exact = (
+        new_idx.join(bmin, ["key_bucket", "exact_fp"])
+        .select(
+            F.col("conv_id").alias("id_a"),
+            F.concat(F.lit(_SIDE_B), F.col("_rid")).alias("id_b"),
+        )
+        .persist()
+    )
+    persisted.append(exact)
+
+    # 3. fuzzy candidates: batch bands x committed registry blocks
+    nblocks = _with_key_bucket(
+        blocking.explode_blocks(ndocs, "conv_id", "bands"), "band_key"
+    ).persist()
+    persisted.append(nblocks)
+    reg_blocks = (
+        _bucket_prune(catalog.read("link_registry_blocks"), "key_bucket", nblocks)
+        .join(
+            nblocks.select("key_bucket", "band_key").distinct(),
+            ["key_bucket", "band_key"],
+        )
+        .persist()  # pruned to touched keys — small
+    )
+    persisted.append(reg_blocks)
+    cands = blocking.cross_candidate_pairs(
+        nblocks.select("band_key", F.col("id")),
+        _tag_b(reg_blocks, "conv_id").select("band_key", F.col("conv_id").alias("id")),
+        max_block=cfg.max_block,
+        salt_threshold=cfg.salt_threshold,
+        salt_groups=cfg.salt_groups,
+    ).join(exact, ["id_a", "id_b"], "left_anti")
+
+    # 4. scoring over the batch docs + ONLY the touched registry docs
+    pair_b_idx = lifecycle.with_fp_bucket(
+        cands.select(
+            F.substring("id_b", len(_SIDE_B) + 1, 2**30).alias("conv_id")
+        ).distinct(),
+        key_col="conv_id",
+        out_col="id_bucket",
+    ).persist()
+    persisted.append(pair_b_idx)
+    reg_docs = (
+        _bucket_prune(catalog.read("link_registry_docs"), "id_bucket", pair_b_idx)
+        .join(pair_b_idx.select("conv_id"), "conv_id", "left_semi")
+    )
+    scoring_docs = ndocs.select("conv_id", "doc", "doc_len").unionByName(
+        _tag_b(reg_docs).select("conv_id", "doc", "doc_len")
+    )
+    scored = scoring.score_pairs(
+        cands, scoring_docs,
+        min_len_ratio=cfg.min_len_ratio, k=cfg.shingle_k,
+        decider=cfg.decider, deps=persisted,
+    )
+    near = scored.where("is_dup").select(
+        "id_a", "id_b", F.col("jaccard").cast("double").alias("score")
+    )
+
+    # 5. batch-local assignment (valid globally: each probe record
+    # appears in exactly one batch)
+    exact_links = exact.select(
+        "id_a", "id_b", F.lit(2.0).alias("score"), F.lit("exact").alias("link_type")
+    )
+    near_links = near.select("id_a", "id_b", "score", F.lit("near").alias("link_type"))
+    if cfg.link_mode == "many_to_one":
+        w = Window.partitionBy("id_a").orderBy(F.col("score").desc(), F.col("id_b").asc())
+        links = (
+            exact_links.unionByName(near_links)
+            .withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .drop("_r")
+        )
+    else:
+        links = exact_links.unionByName(near_links)
+
+    links = links.select(
+        _strip_side("id_a").alias("conv_id_a"),
+        _strip_side("id_b").alias("conv_id_b"),
+        "score",
+        "link_type",
+    ).persist()
+    persisted.append(links)
+
+    # 6. O(delta) append
+    catalog.write("links", links, mode="append")
+
+    result = LinkResult(
+        links=links,
+        scored_pairs=scored.withColumn("id_a", _strip_side("id_a")).withColumn(
+            "id_b", _strip_side("id_b")
+        ),
+        candidate_pairs=cands.withColumn("id_a", _strip_side("id_a")).withColumn(
+            "id_b", _strip_side("id_b")
+        ),
+        docs_a=ndocs.withColumn("conv_id", _strip_side("conv_id")),
+        docs_b=reg_docs,  # committed ids are already the caller's namespace
+        metrics=spark.createDataFrame([], "metric string, value double"),
+        persisted=persisted,
+    )
     return result
 
 

@@ -67,6 +67,11 @@ def main() -> None:
                     choices=["one_to_one", "many_to_one", "all"],
                     help="linkage assignment: reciprocal-best 1:1, best "
                          "registry link per probe record, or all accepted links")
+    ap.add_argument("--link-incremental", action="store_true",
+                    help="link --input (a NEW probe batch) against the "
+                         "registry state a prior --link-registry run "
+                         "committed to --output; appends a links delta "
+                         "(many_to_one / all modes only)")
     ap.add_argument("--compact-clusters", action="store_true",
                     help="after an incremental run, fold the cluster_updates "
                          "log back into the base clusters table")
@@ -149,6 +154,18 @@ def main() -> None:
     )
 
     t0 = time.time()
+    if args.link_incremental:
+        from dedupe_spark.pipeline import link_incremental
+
+        result = link_incremental(transcripts, catalog, cfg)
+        print(json.dumps({
+            "links_delta_rows": result.links.count(),
+            "links_table_rows": catalog.read("links").count(),
+            "wall_sec": round(time.time() - t0, 2),
+            "warehouse": args.output,
+        }))
+        spark.stop()
+        return
     if args.link_registry:
         from dedupe_spark import schemas
         from dedupe_spark.pipeline import link

@@ -105,3 +105,63 @@ def test_link_rejects_unknown_mode(spark, sources):
     probe, registry, _ = sources
     with pytest.raises(ValueError):
         pipeline.link(probe, registry, pipeline.PipelineConfig(link_mode="bogus"))
+
+
+def test_link_incremental_equals_batch(spark, sources, tmp_path):
+    """Equivalence contract: link() commits the registry state; probing
+    the probe set in two incremental batches appends link deltas whose
+    union equals the one-shot link() over the full probe set
+    (many_to_one, no stop-band crossing at this scale)."""
+    from dedupe_spark.catalog import SnapshotCatalog
+
+    probe, registry, truth = sources
+    cfg = pipeline.PipelineConfig(link_mode="many_to_one")
+
+    # ground truth: one-shot link over the full probe set
+    full = pipeline.link(probe, registry, cfg)
+    want = {
+        (r["conv_id_a"], r["conv_id_b"], r["link_type"])
+        for r in full.links.collect()
+    }
+    full.release()
+
+    # seed the committed registry state with an EMPTY probe first run
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    empty_probe = probe.where(F.lit(False))
+    seed = pipeline.link(empty_probe, registry, cfg, catalog=cat)
+    assert seed.links.count() == 0
+    seed.release()
+
+    # then fold the probe set in as two incremental batches
+    ids = sorted(r["conv_id"] for r in probe.select("conv_id").distinct().collect())
+    half = set(ids[: len(ids) // 2])
+    b1 = probe.where(F.col("conv_id").isin(half))
+    b2 = probe.where(~F.col("conv_id").isin(half))
+    r1 = pipeline.link_incremental(b1, cat, cfg)
+    n1 = r1.links.count()
+    r1.release()
+    r2 = pipeline.link_incremental(b2, cat, cfg)
+    n2 = r2.links.count()
+    r2.release()
+
+    got = {
+        (r["conv_id_a"], r["conv_id_b"], r["link_type"])
+        for r in cat.read("links").collect()
+    }
+    assert n1 + n2 == len(got)  # batches are disjoint in id_a
+    assert got == want
+
+
+def test_link_incremental_rejects_one_to_one(spark, sources, tmp_path):
+    from dedupe_spark.catalog import SnapshotCatalog
+
+    probe, registry, _ = sources
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh1"))
+    pipeline.link(
+        probe.where(F.lit(False)), registry,
+        pipeline.PipelineConfig(link_mode="many_to_one"), catalog=cat,
+    ).release()
+    with pytest.raises(ValueError):
+        pipeline.link_incremental(
+            probe, cat, pipeline.PipelineConfig(link_mode="one_to_one")
+        )
