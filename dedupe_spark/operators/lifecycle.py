@@ -94,6 +94,21 @@ def register_turns(
     return unique_turns.drop("refcount"), membership
 
 
+def bucket_pruned(df: DataFrame, bucket_col: str, probe_side: DataFrame) -> DataFrame:
+    """Static bucket-partition pruning for a probe against a
+    bucket-partitioned table: collect the probe side's distinct bucket
+    values (<= n_buckets ints, one tiny job) and filter the scan with an
+    IN — Catalyst's dynamic partition pruning cannot see through a
+    bloom-flag/UDF probe side, so without this the scan reads every
+    bucket (tests/test_partition_pruning.py). An empty probe set prunes
+    every partition (the optimizer then deletes the join outright).
+    Shared by the registry probe here and pipeline.link_incremental."""
+    bks = [r[0] for r in probe_side.select(bucket_col).distinct().collect()]
+    if not bks:
+        return df.where(F.lit(False))
+    return df.where(F.col(bucket_col).isin(bks))
+
+
 def register_turns_incremental(
     new_transcripts: DataFrame,
     unique_turns: DataFrame,
@@ -188,10 +203,7 @@ def register_turns_incremental(
     def _bucket_pruned(probe_side: DataFrame) -> DataFrame:
         if not bucketed:
             return u_probe
-        bks = [r[0] for r in probe_side.select("fp_bucket").distinct().collect()]
-        if not bks:  # nothing to probe: prune every partition
-            return u_probe.where(F.lit(False))
-        return u_probe.where(F.col("fp_bucket").isin(bks))
+        return bucket_pruned(u_probe, "fp_bucket", probe_side)
 
     flagged = t.select("fp").distinct()
     if bucketed:

@@ -87,6 +87,12 @@ class PipelineConfig:
     #                   A records may hit the same B record)
     #   "all"         — every accepted link, unassigned (caller resolves)
     link_mode: str = "one_to_one"
+    # link(catalog=...) also commits the registry-side probe state
+    # (fp index, band blocks, docs+shingles) so link_incremental can
+    # probe later batches without re-blocking the registry; disable when
+    # the warehouse should hold only the links table (the state costs
+    # O(registry) storage and is dead weight if no batches follow)
+    link_commit_registry_state: bool = True
     extra: dict = field(default_factory=dict)
 
 
@@ -483,15 +489,18 @@ def link(
     if catalog is not None:
         catalog.write("links", links)
         catalog.write("link_metrics", metrics)
+    if catalog is not None and cfg.link_commit_registry_state:
         # registry-side probe state, so later probe batches can link
         # against this registry WITHOUT re-blocking it
         # (link_incremental): the registry's exact-fp index and band
         # blocks bucket-partitioned for pruned probes (the same layout
         # the self-dedup incremental path uses), and the normalized
-        # registry docs id-bucketed so scoring fetches only the touched
-        # ones. Ids are committed UNTAGGED (the caller's namespace).
+        # registry docs id-bucketed (WITH their distinct-shingle arrays,
+        # so per-batch scoring reuses them instead of re-deriving the
+        # tokenize+shingle tree every batch). Ids are committed UNTAGGED
+        # (the caller's namespace).
         reg_docs = docs_b.select(
-            _strip_side("conv_id"), "doc", "doc_len"
+            _strip_side("conv_id"), "doc", "doc_len", "sh"
         )
         catalog.write(
             "link_registry_docs",
@@ -567,20 +576,28 @@ def link_incremental(
     spark = new_probe.sparkSession
     persisted: list[DataFrame] = []
 
+    # re-probe guard: a probe record the committed links table already
+    # links must not link again (a re-delivered or overlapping batch
+    # would otherwise append duplicate conv_id_a rows, silently breaking
+    # many_to_one's at-most-one-link invariant). Previously-probed-but-
+    # UNLINKED records re-probe harmlessly: against an unchanged
+    # registry they produce the same no-link.
+    if catalog.exists("links"):
+        new_probe = new_probe.join(
+            catalog.read("links").select(F.col("conv_id_a").alias("conv_id")),
+            "conv_id",
+            "left_anti",
+        )
+
     ndocs = _docs_with_bands(_tag_side(new_probe, _SIDE_A), cfg).persist()
     persisted.append(ndocs)
 
     def _tag_b(df: DataFrame, col: str = "conv_id") -> DataFrame:
         return df.withColumn(col, F.concat(F.lit(_SIDE_B), F.col(col)))
 
-    def _bucket_prune(df: DataFrame, bucket_col: str, probe_side: DataFrame) -> DataFrame:
-        # static partition pruning, same rationale as the registry
-        # probe (lifecycle.register_turns_incremental): DPP cannot see
-        # through the batch side, so collect its <= 64 bucket values
-        bks = [r[0] for r in probe_side.select(bucket_col).distinct().collect()]
-        if not bks:
-            return df.where(F.lit(False))
-        return df.where(F.col(bucket_col).isin(bks))
+    # static partition pruning, same rationale as the registry probe:
+    # DPP cannot see through the batch side (lifecycle.bucket_pruned)
+    _bucket_prune = lifecycle.bucket_pruned
 
     # 2. exact links against the committed fp index
     new_idx = _with_key_bucket(
@@ -620,15 +637,20 @@ def link_incremental(
         .persist()  # pruned to touched keys — small
     )
     persisted.append(reg_blocks)
+    # persisted: the candidate join is read by the bucket collect below,
+    # the scoring plan, and the links write — one execution, not three
     cands = blocking.cross_candidate_pairs(
         nblocks.select("band_key", F.col("id")),
         _tag_b(reg_blocks, "conv_id").select("band_key", F.col("conv_id").alias("id")),
         max_block=cfg.max_block,
         salt_threshold=cfg.salt_threshold,
         salt_groups=cfg.salt_groups,
-    ).join(exact, ["id_a", "id_b"], "left_anti")
+    ).join(exact, ["id_a", "id_b"], "left_anti").persist()
+    persisted.append(cands)
 
     # 4. scoring over the batch docs + ONLY the touched registry docs
+    # (committed with their distinct-shingle arrays, so sh_col reuse
+    # skips the per-batch tokenize+shingle recompute on both sides)
     pair_b_idx = lifecycle.with_fp_bucket(
         cands.select(
             F.substring("id_b", len(_SIDE_B) + 1, 2**30).alias("conv_id")
@@ -641,13 +663,13 @@ def link_incremental(
         _bucket_prune(catalog.read("link_registry_docs"), "id_bucket", pair_b_idx)
         .join(pair_b_idx.select("conv_id"), "conv_id", "left_semi")
     )
-    scoring_docs = ndocs.select("conv_id", "doc", "doc_len").unionByName(
-        _tag_b(reg_docs).select("conv_id", "doc", "doc_len")
+    scoring_docs = ndocs.select("conv_id", "doc", "doc_len", "sh").unionByName(
+        _tag_b(reg_docs).select("conv_id", "doc", "doc_len", "sh")
     )
     scored = scoring.score_pairs(
         cands, scoring_docs,
         min_len_ratio=cfg.min_len_ratio, k=cfg.shingle_k,
-        decider=cfg.decider, deps=persisted,
+        decider=cfg.decider, sh_col="sh", deps=persisted,
     )
     near = scored.where("is_dup").select(
         "id_a", "id_b", F.col("jaccard").cast("double").alias("score")
@@ -678,9 +700,27 @@ def link_incremental(
     ).persist()
     persisted.append(links)
 
-    # 6. O(delta) append
+    # 6. O(delta) append + refreshed metrics snapshot (the committed
+    # link_metrics would otherwise go silently stale after the first
+    # incremental batch)
     catalog.write("links", links, mode="append")
+    n_delta = links.count()
+    n_total = catalog.read("links").count()
+    metrics = spark.createDataFrame(
+        [
+            ("n_links", float(n_total)),
+            ("n_links_delta", float(n_delta)),
+            ("n_records_a_delta", float(ndocs.count())),
+            ("n_candidate_pairs_delta", float(cands.count())),
+        ],
+        "metric string, value double",
+    )
+    catalog.write("link_metrics", metrics)
 
+    # NOTE: docs_b here is the TOUCHED registry docs slice
+    # (conv_id, doc, doc_len, sh, id_bucket) — narrower and smaller than
+    # link()'s full banded registry table; consumers needing the full
+    # registry read link_registry_docs from the catalog
     result = LinkResult(
         links=links,
         scored_pairs=scored.withColumn("id_a", _strip_side("id_a")).withColumn(
@@ -691,7 +731,7 @@ def link_incremental(
         ),
         docs_a=ndocs.withColumn("conv_id", _strip_side("conv_id")),
         docs_b=reg_docs,  # committed ids are already the caller's namespace
-        metrics=spark.createDataFrame([], "metric string, value double"),
+        metrics=metrics,
         persisted=persisted,
     )
     return result

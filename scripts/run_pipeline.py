@@ -63,10 +63,13 @@ def main() -> None:
                          "table record linkage (pipeline.link) — --input is "
                          "the probe side, this is the registry side; commits "
                          "the links table instead of clusters")
-    ap.add_argument("--link-mode", default="one_to_one",
+    ap.add_argument("--link-mode", default=None,
                     choices=["one_to_one", "many_to_one", "all"],
                     help="linkage assignment: reciprocal-best 1:1, best "
-                         "registry link per probe record, or all accepted links")
+                         "registry link per probe record, or all accepted "
+                         "links (default: one_to_one for --link-registry, "
+                         "many_to_one for --link-incremental, which cannot "
+                         "do 1:1 batch-locally)")
     ap.add_argument("--link-incremental", action="store_true",
                     help="link --input (a NEW probe batch) against the "
                          "registry state a prior --link-registry run "
@@ -150,7 +153,11 @@ def main() -> None:
         aac_policy=not args.no_aac,
         scrub_pii=args.scrub_pii,
         lint=args.lint,
-        link_mode=args.link_mode,
+        # --link-incremental cannot assign 1:1 batch-locally, so its
+        # default differs; an explicit one_to_one there is rejected by
+        # link_incremental with a clear error
+        link_mode=args.link_mode
+        or ("many_to_one" if args.link_incremental else "one_to_one"),
     )
 
     t0 = time.time()
